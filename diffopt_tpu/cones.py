@@ -1,0 +1,411 @@
+"""Cone specifications and projection calculus.
+
+TPU-native replacement for the reference's cone machinery: the runtime
+``ProductOfSets`` row layout (``/root/reference/src/product_of_sets.jl:15-74``)
+becomes a *static* :class:`ConeSpec`, and the projections pi / D-pi delegated to
+MathOptSetDistances (``/root/reference/src/diff_opt.jl:483-519``) become
+closed-form JAX ops that trace into fused XLA code.
+
+As in the reference, projections act on the **dual cone** of each constraint
+set: the conic residual map uses ``v = y - s`` projected onto K* (see
+``ConicProgram.jl:222-249``).
+
+Supported cone kinds (MOI set -> kind):
+
+* ``zero``    — Zeros;        dual = Reals:     Pi(v) = v,       DPi = I
+* ``nonneg``  — Nonnegatives; dual = Nonneg:    Pi = max(v, 0),  DPi = diag(v>=0)
+* ``nonpos``  — Nonpositives; dual = Nonpos:    Pi = min(v, 0),  DPi = diag(v<=0)
+* ``soc``     — SecondOrderCone (self-dual): closed-form 2x2 block formula
+* ``psd``     — PositiveSemidefiniteConeTriangle (self-dual): eigh-based
+* ``exp``     — ExponentialCone; dual cone projection via Newton iteration.
+
+Triangle convention for ``psd`` follows MOI: upper triangle, column-by-column,
+unscaled entries, so a cone of matrix side ``d`` spans ``d(d+1)/2`` rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+_KINDS = ("zero", "nonneg", "nonpos", "soc", "psd", "exp", "dual_exp")
+
+
+class ConeSpec:
+    """Static, hashable ordered list of ``(kind, dim)`` cone blocks.
+
+    ``dim`` is the number of *rows* the block spans (for ``psd`` this is the
+    triangle length ``d(d+1)/2``, not the matrix side).
+    """
+
+    __slots__ = ("blocks",)
+
+    def __init__(self, blocks: Sequence[Tuple[str, int]]):
+        blocks = tuple((str(k), int(d)) for k, d in blocks)
+        for k, d in blocks:
+            if k not in _KINDS:
+                raise ValueError(f"unknown cone kind {k!r}; expected one of {_KINDS}")
+            if k == "psd":
+                side = _tri_side(d)
+                if side * (side + 1) // 2 != d:
+                    raise ValueError(f"psd block dim {d} is not a triangle number")
+            if k in ("exp", "dual_exp") and d != 3:
+                raise ValueError(f"{k} cone blocks must have dim 3, got {d}")
+        self.blocks = blocks
+
+    @property
+    def total_dim(self) -> int:
+        return sum(d for _, d in self.blocks)
+
+    def offsets(self):
+        """Yield (kind, start, dim) for each block."""
+        off = 0
+        for k, d in self.blocks:
+            yield k, off, d
+            off += d
+
+    def __hash__(self):
+        return hash(self.blocks)
+
+    def __eq__(self, other):
+        return isinstance(other, ConeSpec) and self.blocks == other.blocks
+
+    def __repr__(self):
+        return f"ConeSpec({list(self.blocks)})"
+
+
+def _tri_side(tri_len: int) -> int:
+    """Matrix side d such that d(d+1)/2 == tri_len (rounded)."""
+    return int(round(((8 * tri_len + 1) ** 0.5 - 1) / 2))
+
+
+def tri_to_sym(v: Array) -> Array:
+    """MOI upper-triangle (column-major, unscaled) vector -> symmetric matrix."""
+    d = _tri_side(v.shape[-1])
+    rows, cols = jnp.triu_indices(d)
+    # MOI order is column-by-column of the upper triangle: (0,0),(0,1),(1,1),...
+    # triu_indices is row-major over the upper triangle: (0,0),(0,1),(0,2),...
+    # Column-major upper triangle == row-major lower triangle transposed; build
+    # the index permutation explicitly (static, computed at trace time).
+    import numpy as np
+
+    order = []
+    for c in range(d):
+        for r in range(c + 1):
+            order.append((r, c))
+    order = np.array(order)
+    X = jnp.zeros(v.shape[:-1] + (d, d), v.dtype)
+    X = X.at[..., order[:, 0], order[:, 1]].set(v)
+    X = X.at[..., order[:, 1], order[:, 0]].set(v)
+    return X
+
+
+def sym_to_tri(X: Array) -> Array:
+    """Symmetric matrix -> MOI upper-triangle vector (column-major, unscaled)."""
+    import numpy as np
+
+    d = X.shape[-1]
+    order = []
+    for c in range(d):
+        for r in range(c + 1):
+            order.append((r, c))
+    order = np.array(order)
+    return X[..., order[:, 0], order[:, 1]]
+
+
+# ---------------------------------------------------------------------------
+# Per-kind projection Pi onto the dual cone, and its derivative applied to a
+# tangent (DPi @ dv). The derivative-as-dense-matrix variants build the block
+# for direct (materialized) residual systems.
+# ---------------------------------------------------------------------------
+
+
+def _pi_soc(v: Array) -> Array:
+    t, x = v[..., 0], v[..., 1:]
+    nx = jnp.linalg.norm(x, axis=-1)
+    # Three regimes: inside (nx <= t) -> v; polar (nx <= -t) -> 0; else boundary
+    alpha = jnp.clip((t + nx) / 2.0, min=0.0)
+    safe_nx = jnp.where(nx > 0, nx, 1.0)
+    proj_t = alpha
+    proj_x = (alpha / safe_nx)[..., None] * x
+    inside = nx <= t
+    out_t = jnp.where(inside, t, proj_t)
+    out_x = jnp.where(inside[..., None], x, proj_x)
+    return jnp.concatenate([out_t[..., None], out_x], axis=-1)
+
+
+def _dpi_soc_dense(v: Array) -> Array:
+    """Dense DPi for the second-order cone at v = (t, x)."""
+    d = v.shape[-1]
+    t, x = v[0], v[1:]
+    nx = jnp.linalg.norm(x)
+    safe_nx = jnp.where(nx > 0, nx, 1.0)
+    xb = x / safe_nx
+    eye = jnp.eye(d, dtype=v.dtype)
+    # Boundary case formula: 0.5*[[1, xb'], [xb, ((nx+t)/nx) I - (t/nx) xb xb']]
+    blk = jnp.zeros((d, d), v.dtype)
+    blk = blk.at[0, 0].set(0.5)
+    blk = blk.at[0, 1:].set(0.5 * xb)
+    blk = blk.at[1:, 0].set(0.5 * xb)
+    lower = ((nx + t) / (2 * safe_nx)) * jnp.eye(d - 1, dtype=v.dtype) - (
+        t / (2 * safe_nx)
+    ) * jnp.outer(xb, xb)
+    blk = blk.at[1:, 1:].set(lower)
+    inside = nx <= t
+    polar = nx <= -t
+    return jnp.where(inside, eye, jnp.where(polar, jnp.zeros_like(eye), blk))
+
+
+def _pi_psd_tri(v: Array) -> Array:
+    X = tri_to_sym(v)
+    w, U = jnp.linalg.eigh(X)
+    wp = jnp.clip(w, min=0.0)
+    P = (U * wp[..., None, :]) @ jnp.swapaxes(U, -1, -2)
+    return sym_to_tri(P)
+
+
+def _psd_kmat(w: Array, dtype) -> Array:
+    """Entrywise derivative weights K_ij = (wi+ + wj+) / (|wi| + |wj|)."""
+    wp = jnp.clip(w, min=0.0)
+    num = wp[:, None] + wp[None, :]
+    den = jnp.abs(w)[:, None] + jnp.abs(w)[None, :]
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.5).astype(dtype)
+
+
+def _dpi_psd_tri_apply(v: Array, dv: Array) -> Array:
+    """DPi_psd(v) @ dv in triangle coordinates."""
+    X = tri_to_sym(v)
+    dX = tri_to_sym(dv)
+    w, U = jnp.linalg.eigh(X)
+    K = _psd_kmat(w, v.dtype)
+    inner = jnp.swapaxes(U, -1, -2) @ dX @ U
+    out = U @ (K * inner) @ jnp.swapaxes(U, -1, -2)
+    return sym_to_tri(out)
+
+
+def _dpi_psd_tri_dense(v: Array) -> Array:
+    tri = v.shape[-1]
+    basis = jnp.eye(tri, dtype=v.dtype)
+    cols = jax.vmap(lambda e: _dpi_psd_tri_apply(v, e))(basis)
+    return jnp.swapaxes(cols, 0, 1)
+
+
+# --- exponential cone ------------------------------------------------------
+# K_exp = cl{(x,y,z): y>0, y*exp(x/y) <= z}; its dual is
+# K_exp* = cl{(u,v,w): u<0, -u*exp(v/u) <= e*w}.
+# Projection onto K_exp* via Moreau: Pi_{K*}(v) = v + Pi_K(-v).
+# Pi_K uses the standard primal-dual Newton refinement on the KKT system of the
+# projection problem (Friberg 2021 "Projection onto the exponential cone").
+
+
+def _proj_exp_primal(v0: Array) -> Array:
+    """Projection of a 3-vector onto the primal exponential cone."""
+    r, s, t = v0[0], v0[1], v0[2]
+    dt = v0.dtype
+
+    # Case 1: already in the cone.
+    in_cone = jnp.logical_or(
+        jnp.logical_and(s > 0, s * jnp.exp(r / jnp.where(s > 0, s, 1.0)) <= t),
+        jnp.logical_and(jnp.logical_and(r <= 0, jnp.abs(s) <= 1e-300), t >= 0),
+    )
+    # Case 2: in the polar cone (-K*) -> projection is 0.
+    u, w = -r, -t
+    in_polar = jnp.logical_or(
+        jnp.logical_and(
+            u > 0, u * jnp.exp(-s / jnp.where(u > 0, u, 1.0)) <= jnp.exp(1.0) * w
+        ),
+        jnp.logical_and(jnp.logical_and(u <= 0, -s <= 0), w >= 0),
+    )
+    # Case 3: "heuristic" region r<=0, s<=0: project to (r, 0, max(t,0)).
+    special = jnp.logical_and(r <= 0, s <= 0)
+
+    # General case: solve for the boundary point with Newton on the scalarized
+    # optimality conditions. Parametrize the projection x = (x1,x2,x3) on the
+    # boundary x2*exp(x1/x2)=x3, with multiplier mu>0:
+    #   x - v0 = mu * grad g(x),  g(x)=x2*exp(x1/x2)-x3.
+    # Following Friberg, reduce to a 1-d root find in rho: guarded Newton/bisect.
+    def general(v0):
+        r, s, t = v0[0], v0[1], v0[2]
+
+        def h(rho):
+            # exp(rho) terms guarded
+            erho = jnp.exp(rho)
+            emrho = jnp.exp(-rho)
+            f = ((rho - 1) * r + s) * erho - (r - rho * s) * emrho - (
+                rho * (rho - 1) + 1
+            ) * t
+            df = (rho * r + s) * erho + (r - (rho - 1) * s) * emrho - (
+                2 * rho - 1
+            ) * t
+            return f, df
+
+        # Bracket the root then do safeguarded Newton.
+        lo0, hi0 = _exp_root_bracket(r, s, t)
+
+        def body(carry, _):
+            lo, hi, rho = carry
+            f, df = h(rho)
+            lo = jnp.where(f < 0, rho, lo)
+            hi = jnp.where(f < 0, hi, rho)
+            newton = rho - f / jnp.where(jnp.abs(df) > 1e-30, df, 1.0)
+            ok = jnp.logical_and(newton > lo, newton < hi)
+            rho_next = jnp.where(ok, newton, 0.5 * (lo + hi))
+            return (lo, hi, rho_next), None
+
+        rho0 = 0.5 * (lo0 + hi0)
+        (lo, hi, rho), _ = jax.lax.scan(body, (lo0, hi0, rho0), None, length=60)
+        vp = jnp.maximum((rho - 1) * r + s, 1e-300) / (rho * (rho - 1) + 1)
+        vd = jnp.maximum(r - rho * s, 1e-300) / (rho * (rho - 1) + 1)
+        x1 = rho * vp
+        x2 = vp
+        x3 = vp * jnp.exp(rho)
+        return jnp.stack([x1, x2, x3]).astype(dt)
+
+    zero = jnp.zeros(3, dt)
+    heur = jnp.stack([r, jnp.zeros((), dt), jnp.clip(t, min=0.0)])
+    gen = general(v0)
+    out = jnp.where(in_cone, v0, jnp.where(in_polar, zero, jnp.where(special, heur, gen)))
+    return out
+
+
+def _exp_root_bracket(r, s, t):
+    """Initial bracket [lo, hi] for the exp-cone Newton in rho (Friberg Alg. 5.1)."""
+
+    def tp(y):  # t>0 branch uses log
+        return y
+
+    # Conservative static bracket; h is monotone increasing in the relevant
+    # region so a wide bracket plus 60 bisection-guarded Newton steps converges
+    # to ~1e-15.
+    lo = jnp.full_like(r, -30.0)
+    hi = jnp.full_like(r, 30.0)
+    return lo, hi
+
+
+def _pi_exp_dual(v: Array) -> Array:
+    """Projection onto K_exp^* via Moreau: v = Pi_{K}(v)... specifically
+    Pi_{K*}(v) = v + Pi_K(-v)."""
+    return v + _proj_exp_primal(-v)
+
+
+def _dpi_exp_dual_dense(v: Array) -> Array:
+    return jax.jacfwd(_pi_exp_dual)(v)
+
+
+# ---------------------------------------------------------------------------
+# Public API over a full ConeSpec
+# ---------------------------------------------------------------------------
+
+
+def pi(cones: ConeSpec, v: Array) -> Array:
+    """Project ``v`` onto the product of dual cones (reference ``DiffOpt.pi``,
+    ``src/diff_opt.jl:491-499``)."""
+    outs = []
+    for kind, off, d in cones.offsets():
+        blk = v[..., off : off + d]
+        if kind == "zero":
+            outs.append(blk)
+        elif kind == "nonneg":
+            outs.append(jnp.clip(blk, min=0.0))
+        elif kind == "nonpos":
+            outs.append(jnp.clip(blk, max=0.0))
+        elif kind == "soc":
+            outs.append(_pi_soc(blk))
+        elif kind == "psd":
+            outs.append(_pi_psd_tri(blk))
+        elif kind == "exp":
+            outs.append(_pi_exp_dual(blk))
+        elif kind == "dual_exp":
+            # dual of the dual-exp set is the primal exp cone
+            outs.append(_proj_exp_primal(blk))
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+    return jnp.concatenate(outs, axis=-1) if outs else v[..., :0]
+
+
+def dpi_apply(cones: ConeSpec, v: Array, dv: Array) -> Array:
+    """Apply the block-diagonal derivative: ``DPi(v) @ dv`` without
+    materializing the matrix (the TPU-native form of the reference's
+    ``BlockDiagonal`` D-pi, ``src/diff_opt.jl:509-519``)."""
+    outs = []
+    for kind, off, d in cones.offsets():
+        blk = v[..., off : off + d]
+        dblk = dv[..., off : off + d]
+        if kind == "zero":
+            outs.append(dblk)
+        elif kind == "nonneg":
+            outs.append(jnp.where(blk >= 0, dblk, 0.0))
+        elif kind == "nonpos":
+            outs.append(jnp.where(blk <= 0, dblk, 0.0))
+        elif kind == "soc":
+            outs.append(_dpi_soc_dense(blk) @ dblk)
+        elif kind == "psd":
+            outs.append(_dpi_psd_tri_apply(blk, dblk))
+        elif kind in ("exp", "dual_exp"):
+            fn = _pi_exp_dual if kind == "exp" else _proj_exp_primal
+            _, out = jax.jvp(fn, (blk,), (dblk,))
+            outs.append(out)
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+    return jnp.concatenate(outs, axis=-1) if outs else dv[..., :0]
+
+
+def dpi_rmatvec(cones: ConeSpec, v: Array, dv: Array) -> Array:
+    """Apply ``DPi(v)' @ dv``. All supported DPi blocks are symmetric except
+    the exp-cone ones, which are handled via VJP."""
+    outs = []
+    for kind, off, d in cones.offsets():
+        blk = v[..., off : off + d]
+        dblk = dv[..., off : off + d]
+        if kind in ("exp", "dual_exp"):
+            fn = _pi_exp_dual if kind == "exp" else _proj_exp_primal
+            _, vjp = jax.vjp(fn, blk)
+            outs.append(vjp(dblk)[0])
+        else:
+            full = dpi_apply(
+                ConeSpec([(kind, d)]), blk, dblk
+            )
+            outs.append(full)
+    return jnp.concatenate(outs, axis=-1) if outs else dv[..., :0]
+
+
+def dpi_dense(cones: ConeSpec, v: Array) -> Array:
+    """Materialized block-diagonal ``DPi(v)`` (for direct/dense solves)."""
+    m = cones.total_dim
+    out = jnp.zeros(v.shape[:-1] + (m, m), v.dtype)
+    for kind, off, d in cones.offsets():
+        blk = v[..., off : off + d]
+        if kind == "zero":
+            B = jnp.broadcast_to(jnp.eye(d, dtype=v.dtype), v.shape[:-1] + (d, d))
+        elif kind == "nonneg":
+            B = jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(
+                (blk >= 0).astype(v.dtype)
+            )
+        elif kind == "nonpos":
+            B = jnp.vectorize(jnp.diag, signature="(d)->(d,d)")(
+                (blk <= 0).astype(v.dtype)
+            )
+        elif kind == "soc":
+            B = _dpi_soc_dense(blk) if blk.ndim == 1 else jax.vmap(_dpi_soc_dense)(blk)
+        elif kind == "psd":
+            B = (
+                _dpi_psd_tri_dense(blk)
+                if blk.ndim == 1
+                else jax.vmap(_dpi_psd_tri_dense)(blk)
+            )
+        elif kind in ("exp", "dual_exp"):
+            fn = _dpi_exp_dual_dense if kind == "exp" else jax.jacfwd(_proj_exp_primal)
+            B = fn(blk) if blk.ndim == 1 else jax.vmap(fn)(blk)
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+        out = out.at[..., off : off + d, off : off + d].set(B)
+    return out
+
+
+def contains_dual(cones: ConeSpec, v: Array, tol: float = 1e-8) -> Array:
+    """Boolean check that v lies (approximately) in the product of dual cones."""
+    return jnp.linalg.norm(pi(cones, v) - v, axis=-1) <= tol

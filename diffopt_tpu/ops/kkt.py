@@ -1,0 +1,203 @@
+"""QP KKT implicit-differentiation core (OptNet / Amos-Kolter 2017).
+
+Reimplements, TPU-first, the math of the reference QP backend
+(``/root/reference/src/QuadraticProgram/QuadraticProgram.jl``):
+
+* ``kkt_jacobian``  — the matrix ``J = LHS'`` of AK17 eq. (6); the reference
+  builds ``LHS = J'`` at ``QuadraticProgram.jl:256-282`` (``create_LHS_matrix``)
+* ``qp_forward``    — JVP: solves ``J d = -rhs(dData)``
+  (= reference ``forward_differentiate!``, ``QuadraticProgram.jl:357-446``,
+  which solves ``LHS' x = RHS``)
+* ``qp_reverse``    — VJP: solves ``J' g = -seed`` and contracts to data
+  cotangents (= reference ``reverse_differentiate!`` + lazy getters,
+  ``QuadraticProgram.jl:316-351,448-473``)
+
+Everything is dense, batched (leading dims broadcast via ``vmap`` by callers),
+and static-shaped: empty constraint blocks are size-0 arrays that XLA folds
+away.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ir import QPSolution, QPTangent, QuadProgram
+from . import linalg
+
+Array = jax.Array
+
+
+class KKTSplit(NamedTuple):
+    dz: Array
+    dlam: Array
+    dnu: Array
+
+
+def kkt_jacobian(qp: QuadProgram, sol: QPSolution) -> Array:
+    """Jacobian of the KKT residual wrt (z, lam, nu) at the solution::
+
+        J = [ Q         G'        A' ]
+            [ diag(lam)G diag(Gz-h) 0 ]
+            [ A          0         0 ]
+
+    This equals the transpose of the reference's ``create_LHS_matrix``
+    (``QuadraticProgram.jl:256-282``).
+    """
+    n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
+    slack = qp.G @ sol.z - qp.h  # (m,)
+    row0 = jnp.concatenate(
+        [qp.Q, jnp.swapaxes(qp.G, -1, -2), jnp.swapaxes(qp.A, -1, -2)], axis=-1
+    )
+    row1 = jnp.concatenate(
+        [
+            sol.lam[..., None] * qp.G,
+            _bdiag(slack),
+            jnp.zeros(slack.shape[:-1] + (m, p), qp.Q.dtype),
+        ],
+        axis=-1,
+    )
+    row2 = jnp.concatenate(
+        [
+            qp.A,
+            jnp.zeros(qp.b.shape[:-1] + (p, m), qp.Q.dtype),
+            jnp.zeros(qp.b.shape[:-1] + (p, p), qp.Q.dtype),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([row0, row1, row2], axis=-2)
+
+
+def _bdiag(v: Array) -> Array:
+    """Batched diag for a (..., m) vector (m may be 0)."""
+    m = v.shape[-1]
+    out = jnp.zeros(v.shape[:-1] + (m, m), v.dtype)
+    idx = jnp.arange(m)
+    return out.at[..., idx, idx].set(v)
+
+
+def _split(x: Array, n: int, m: int) -> KKTSplit:
+    return KKTSplit(x[..., :n], x[..., n : n + m], x[..., n + m :])
+
+
+def qp_forward(
+    qp: QuadProgram,
+    sol: QPSolution,
+    dqp: QPTangent,
+    *,
+    method: str = "lu",
+    refine_iters: int = 0,
+) -> KKTSplit:
+    """Forward (JVP) sensitivity: directional derivative of (z, lam, nu) along
+    the data perturbation ``dqp``.
+
+    Solves ``J [dz; dlam; dnu] = -[rhs1; rhs2; rhs3]`` with the RHS of
+    ``QuadraticProgram.jl:429-433``::
+
+        rhs1 = dQ z + dq + dG' lam + dA' nu
+        rhs2 = lam .* (dG z - dh)
+        rhs3 = dA z - db
+    """
+    z, lam, nu = sol.z, sol.lam, sol.nu
+    rhs1 = (
+        _mv(dqp.dQ, z)
+        + dqp.dq
+        + _rmv(dqp.dG, lam)
+        + _rmv(dqp.dA, nu)
+    )
+    rhs2 = lam * (_mv(dqp.dG, z) - dqp.dh)
+    rhs3 = _mv(dqp.dA, z) - dqp.db
+    rhs = jnp.concatenate([rhs1, rhs2, rhs3], axis=-1)
+    J = kkt_jacobian(qp, sol)
+    d = -linalg.solve(J, rhs, method, refine_iters=refine_iters)
+    return _split(d, qp.num_vars, qp.num_ineq)
+
+
+def qp_reverse_system(
+    qp: QuadProgram,
+    sol: QPSolution,
+    seed: KKTSplit,
+    *,
+    method: str = "lu",
+    refine_iters: int = 0,
+) -> KKTSplit:
+    """Solve the adjoint system ``J' g = -[dl/dz; dl/dlam; dl/dnu]``.
+
+    The reference solves ``LHS x = [dl_dz; 0; 0]`` (``QuadraticProgram.jl:
+    316-341``) — identical with ``LHS = J'`` — and only supports primal seeds;
+    here dual seeds are first-class.
+    """
+    rhs = jnp.concatenate([seed.dz, seed.dlam, seed.dnu], axis=-1)
+    Jt = jnp.swapaxes(kkt_jacobian(qp, sol), -1, -2)
+    g = -linalg.solve(Jt, rhs, method, refine_iters=refine_iters)
+    return _split(g, qp.num_vars, qp.num_ineq)
+
+
+def qp_reverse_accumulate(
+    qp: QuadProgram, sol: QPSolution, g: KKTSplit
+) -> QPTangent:
+    """Contract the adjoint solution into data cotangents (the reference's
+    lazy getters, materialized):
+
+        dQ = (gz z' + z gz') / 2         QuadraticProgram.jl:448-458
+        dq = gz
+        dG = (lam.*glam) z' + lam gz'    QuadraticProgram.jl:467-473
+        dh = -lam .* glam                QuadraticProgram.jl:307-311
+        dA = gnu z' + nu gz'             QuadraticProgram.jl:461-466
+        db = -gnu                        QuadraticProgram.jl:312-314
+    """
+    z, lam, nu = sol.z, sol.lam, sol.nu
+    gz, glam, gnu = g.dz, g.dlam, g.dnu
+    outer = lambda a, b: a[..., :, None] * b[..., None, :]
+    dQ = 0.5 * (outer(gz, z) + outer(z, gz))
+    dq = gz
+    dG = outer(lam * glam, z) + outer(lam, gz)
+    dh = -lam * glam
+    dA = outer(gnu, z) + outer(nu, gz)
+    db = -gnu
+    return QPTangent(dQ=dQ, dq=dq, dA=dA, db=db, dG=dG, dh=dh)
+
+
+def qp_reverse(
+    qp: QuadProgram,
+    sol: QPSolution,
+    dz_seed: Array,
+    dlam_seed: Array | None = None,
+    dnu_seed: Array | None = None,
+    *,
+    method: str = "lu",
+    refine_iters: int = 0,
+) -> Tuple[QPTangent, KKTSplit]:
+    """Reverse (VJP) sensitivity: cotangents of the data given cotangents of
+    the solution. Returns ``(data_cotangents, adjoint_solution)``."""
+    seed = KKTSplit(
+        dz_seed,
+        jnp.zeros_like(sol.lam) if dlam_seed is None else dlam_seed,
+        jnp.zeros_like(sol.nu) if dnu_seed is None else dnu_seed,
+    )
+    g = qp_reverse_system(
+        qp, sol, seed, method=method, refine_iters=refine_iters
+    )
+    return qp_reverse_accumulate(qp, sol, g), g
+
+
+def _mv(M: Array, v: Array) -> Array:
+    """Batched matrix-vector product (handles 0-sized dims)."""
+    return jnp.einsum("...ij,...j->...i", M, v)
+
+
+def _rmv(M: Array, v: Array) -> Array:
+    """Batched M' v."""
+    return jnp.einsum("...ij,...i->...j", M, v)
+
+
+def kkt_residual(qp: QuadProgram, sol: QPSolution) -> Array:
+    """Stationarity + complementarity + primal-feasibility residual, the
+    implicit function whose Jacobian is :func:`kkt_jacobian`."""
+    z, lam, nu = sol.z, sol.lam, sol.nu
+    r1 = _mv(qp.Q, z) + qp.q + _rmv(qp.G, lam) + _rmv(qp.A, nu)
+    r2 = lam * (_mv(qp.G, z) - qp.h)
+    r3 = _mv(qp.A, z) - qp.b
+    return jnp.concatenate([r1, r2, r3], axis=-1)
