@@ -29,8 +29,9 @@ from .ir import (
     QuadProgram,
 )
 from .cones import ConeSpec
-from . import qp_diff
+from . import conic_diff, qp_diff
 from .qp_diff import forward_differentiate, reverse_differentiate
+from .solve import solve_conic, solve_qp
 
 __version__ = "0.1.0"
 
@@ -43,6 +44,9 @@ __all__ = [
     "ConeTangent",
     "ConeSpec",
     "qp_diff",
+    "conic_diff",
+    "solve_qp",
+    "solve_conic",
     "forward_differentiate",
     "reverse_differentiate",
 ]

@@ -16,11 +16,18 @@ Supported cone kinds (MOI set -> kind):
 * ``nonneg``  — Nonnegatives; dual = Nonneg:    Pi = max(v, 0),  DPi = diag(v>=0)
 * ``nonpos``  — Nonpositives; dual = Nonpos:    Pi = min(v, 0),  DPi = diag(v<=0)
 * ``soc``     — SecondOrderCone (self-dual): closed-form 2x2 block formula
-* ``psd``     — PositiveSemidefiniteConeTriangle (self-dual): eigh-based
+* ``psd``     — PSD cone in **svec** coordinates (self-dual): eigh-based
 * ``exp``     — ExponentialCone; dual cone projection via Newton iteration.
 
-Triangle convention for ``psd`` follows MOI: upper triangle, column-by-column,
-unscaled entries, so a cone of matrix side ``d`` spans ``d(d+1)/2`` rows.
+PSD convention: rows are the *scaled* triangle (svec) — upper triangle,
+column-by-column, off-diagonal entries multiplied by sqrt(2) — so the
+Euclidean inner product equals the Frobenius matrix product and the cone is
+genuinely self-dual with a symmetric DPi. This is the SCS/diffcp internal
+convention; the reference's MOI layer uses the *unscaled* triangle and pays
+for it with weighted inner products (see the preprocessing note at
+``/root/reference/src/ConicProgram/ConicProgram.jl:211-213``). Use
+:func:`moi_tri_to_svec` / :func:`svec_to_moi_tri` to convert data and duals
+expressed in MOI triangle coordinates.
 """
 
 from __future__ import annotations
@@ -83,38 +90,56 @@ def _tri_side(tri_len: int) -> int:
     return int(round(((8 * tri_len + 1) ** 0.5 - 1) / 2))
 
 
-def tri_to_sym(v: Array) -> Array:
-    """MOI upper-triangle (column-major, unscaled) vector -> symmetric matrix."""
-    d = _tri_side(v.shape[-1])
-    rows, cols = jnp.triu_indices(d)
-    # MOI order is column-by-column of the upper triangle: (0,0),(0,1),(1,1),...
-    # triu_indices is row-major over the upper triangle: (0,0),(0,1),(0,2),...
-    # Column-major upper triangle == row-major lower triangle transposed; build
-    # the index permutation explicitly (static, computed at trace time).
+def _tri_order(d: int):
+    """Static (row, col) index list of the upper triangle, column-by-column:
+    (0,0),(0,1),(1,1),(0,2),... — the MOI/SCS ordering."""
     import numpy as np
 
     order = []
     for c in range(d):
         for r in range(c + 1):
             order.append((r, c))
-    order = np.array(order)
+    return np.array(order)
+
+
+def _svec_scale(d: int, dtype):
+    """Per-entry svec scaling: 1 on the diagonal, sqrt(2) off-diagonal."""
+    import numpy as np
+
+    order = _tri_order(d)
+    return jnp.asarray(
+        np.where(order[:, 0] == order[:, 1], 1.0, np.sqrt(2.0)), dtype=dtype
+    )
+
+
+def svec_to_sym(v: Array) -> Array:
+    """svec vector (off-diag scaled by sqrt2) -> symmetric matrix."""
+    d = _tri_side(v.shape[-1])
+    order = _tri_order(d)
+    vals = v / _svec_scale(d, v.dtype)
     X = jnp.zeros(v.shape[:-1] + (d, d), v.dtype)
-    X = X.at[..., order[:, 0], order[:, 1]].set(v)
-    X = X.at[..., order[:, 1], order[:, 0]].set(v)
+    X = X.at[..., order[:, 0], order[:, 1]].set(vals)
+    X = X.at[..., order[:, 1], order[:, 0]].set(vals)
     return X
 
 
-def sym_to_tri(X: Array) -> Array:
-    """Symmetric matrix -> MOI upper-triangle vector (column-major, unscaled)."""
-    import numpy as np
-
+def sym_to_svec(X: Array) -> Array:
+    """Symmetric matrix -> svec vector (off-diag scaled by sqrt2)."""
     d = X.shape[-1]
-    order = []
-    for c in range(d):
-        for r in range(c + 1):
-            order.append((r, c))
-    order = np.array(order)
-    return X[..., order[:, 0], order[:, 1]]
+    order = _tri_order(d)
+    return X[..., order[:, 0], order[:, 1]] * _svec_scale(d, X.dtype)
+
+
+def moi_tri_to_svec(v: Array) -> Array:
+    """MOI unscaled triangle coordinates -> svec (multiply off-diag by sqrt2)."""
+    d = _tri_side(v.shape[-1])
+    return v * _svec_scale(d, v.dtype)
+
+
+def svec_to_moi_tri(v: Array) -> Array:
+    """svec -> MOI unscaled triangle coordinates."""
+    d = _tri_side(v.shape[-1])
+    return v / _svec_scale(d, v.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -161,11 +186,11 @@ def _dpi_soc_dense(v: Array) -> Array:
 
 
 def _pi_psd_tri(v: Array) -> Array:
-    X = tri_to_sym(v)
+    X = svec_to_sym(v)
     w, U = jnp.linalg.eigh(X)
     wp = jnp.clip(w, min=0.0)
     P = (U * wp[..., None, :]) @ jnp.swapaxes(U, -1, -2)
-    return sym_to_tri(P)
+    return sym_to_svec(P)
 
 
 def _psd_kmat(w: Array, dtype) -> Array:
@@ -178,13 +203,13 @@ def _psd_kmat(w: Array, dtype) -> Array:
 
 def _dpi_psd_tri_apply(v: Array, dv: Array) -> Array:
     """DPi_psd(v) @ dv in triangle coordinates."""
-    X = tri_to_sym(v)
-    dX = tri_to_sym(dv)
+    X = svec_to_sym(v)
+    dX = svec_to_sym(dv)
     w, U = jnp.linalg.eigh(X)
     K = _psd_kmat(w, v.dtype)
     inner = jnp.swapaxes(U, -1, -2) @ dX @ U
     out = U @ (K * inner) @ jnp.swapaxes(U, -1, -2)
-    return sym_to_tri(out)
+    return sym_to_svec(out)
 
 
 def _dpi_psd_tri_dense(v: Array) -> Array:

@@ -1,0 +1,159 @@
+"""Conic program implicit differentiation (Agrawal et al. 2019).
+
+TPU-native rebuild of the reference ConicProgram backend
+(``/root/reference/src/ConicProgram/ConicProgram.jl``): differentiate the
+solution map of ``min c'x s.t. Ax + s = b, s in K`` through the normalized
+residual map of the homogeneous self-dual embedding.
+
+Math (``ConicProgram.jl:217-254``): with the optimal ``(x, y, s)`` set
+``u = x``, ``v = y - s``, ``w = 1``; ``Dpi = DPi_{K*}(v)``; and::
+
+    M = [  0        A' Dpi   c ]
+        [ -A      -Dpi + I   b ]
+        [ -c'     -b' Dpi    0 ]
+
+* forward (``ConicProgram.jl:257-334``): rhs = [dA'pi(v) + dc; -dA u + db;
+  -<dc,u> - <db,pi(v)>]; dz = M^+ rhs; dx = -(du - x dw),
+  dy = -(Dpi dv - y dw), ds = -(Dpi dv - dv - s dw).
+* reverse (``ConicProgram.jl:336-394``): dz = [dx; Dpi'(dy+ds) - ds;
+  -x'dx - y'dy - s'ds]; g = M^+ dz; with pz = [u; pi(v); 1]:
+  dA_ij = g[n+i] pz[j] - pz[n+i] g[j]; db = g_m - g[end] pz_m;
+  dc = g_n - g[end] pz_n  (rank-2/rank-1 reads of -g pz',
+  ``ConicProgram.jl:396-443``).
+
+``M`` is square but singular in general; the reference uses lsqr. Here the
+default is a dense least-squares solve (batched-friendly); a matrix-free LSQR
+over the implicit operator is in :mod:`diffopt_tpu.ops.lsqr` for large m+n.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import cones as _cones
+from .cones import ConeSpec
+from .ir import ConeProgram, ConeSolution, ConeTangent
+from .ops import linalg
+
+Array = jax.Array
+
+
+class ConeForward(NamedTuple):
+    dx: Array
+    dy: Array
+    ds: Array
+
+
+def residual_matrix(cp: ConeProgram, sol: ConeSolution) -> Array:
+    """Materialize M (the reference's gradient cache, ``ConicProgram.jl:
+    243-247``)."""
+    A, b, c = cp.A, cp.b, cp.c
+    n, m = cp.num_vars, cp.num_rows
+    v = sol.y - sol.s
+    Dpi = _cones.dpi_dense(cp.cones, v)
+    At = jnp.swapaxes(A, -1, -2)
+    eye_m = jnp.eye(m, dtype=A.dtype)
+    row0 = jnp.concatenate(
+        [jnp.zeros(A.shape[:-2] + (n, n), A.dtype), At @ Dpi, c[..., :, None]],
+        axis=-1,
+    )
+    row1 = jnp.concatenate([-A, -Dpi + eye_m, b[..., :, None]], axis=-1)
+    row2 = jnp.concatenate(
+        [
+            -c[..., None, :],
+            -jnp.einsum("...i,...ij->...j", b, Dpi)[..., None, :],
+            jnp.zeros(A.shape[:-2] + (1, 1), A.dtype),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([row0, row1, row2], axis=-2)
+
+
+def _solve_M(M: Array, rhs: Array, method: str, refine_iters: int) -> Array:
+    return linalg.solve(M, rhs, method, refine_iters=refine_iters)
+
+
+def forward_differentiate(
+    cp: ConeProgram,
+    sol: ConeSolution,
+    dcp: ConeTangent,
+    *,
+    method: str = "lstsq",
+    refine_iters: int = 0,
+) -> ConeForward:
+    """JVP of the conic solution map along (dA, db, dc)."""
+    n, m = cp.num_vars, cp.num_rows
+    x, y, s = sol.x, sol.y, sol.s
+    v = y - s
+    vp = _cones.pi(cp.cones, v)
+
+    dA, db, dc = dcp.dA, dcp.db, dcp.dc
+    rhs = jnp.concatenate(
+        [
+            jnp.einsum("...ij,...i->...j", dA, vp) + dc,
+            -jnp.einsum("...ij,...j->...i", dA, x) + db,
+            (-jnp.sum(dc * x, axis=-1) - jnp.sum(db * vp, axis=-1))[..., None],
+        ],
+        axis=-1,
+    )
+    M = residual_matrix(cp, sol)
+    dz = _solve_M(M, rhs, method, refine_iters)
+    du, dv, dw = dz[..., :n], dz[..., n : n + m], dz[..., n + m]
+
+    dpidv = _cones.dpi_apply(cp.cones, v, dv)
+    dx = -(du - x * dw[..., None])
+    dy = -(dpidv - y * dw[..., None])
+    ds = -(dpidv - dv - s * dw[..., None])
+    return ConeForward(dx=dx, dy=dy, ds=ds)
+
+
+def reverse_differentiate(
+    cp: ConeProgram,
+    sol: ConeSolution,
+    dx: Array,
+    dy: Optional[Array] = None,
+    ds: Optional[Array] = None,
+    *,
+    method: str = "lstsq",
+    refine_iters: int = 0,
+) -> ConeTangent:
+    """VJP of the conic solution map for cotangents (dx, dy, ds)."""
+    n, m = cp.num_vars, cp.num_rows
+    x, y, s = sol.x, sol.y, sol.s
+    v = y - s
+    vp = _cones.pi(cp.cones, v)
+    dy = jnp.zeros_like(y) if dy is None else dy
+    ds = jnp.zeros_like(s) if ds is None else ds
+
+    dz = jnp.concatenate(
+        [
+            dx,
+            _cones.dpi_rmatvec(cp.cones, v, dy + ds) - ds,
+            (
+                -jnp.sum(x * dx, axis=-1)
+                - jnp.sum(y * dy, axis=-1)
+                - jnp.sum(s * ds, axis=-1)
+            )[..., None],
+        ],
+        axis=-1,
+    )
+    # True adjoint: solve with M' (the reference reuses M here,
+    # ``ConicProgram.jl:372`` — but its harness never checks the conic adjoint
+    # identity, ``test/utils.jl:334``; the transpose is what makes
+    # <JVP(d), seed> == <d, VJP(seed)> hold, and matches diffcp's
+    # adjoint_derivative).
+    M = residual_matrix(cp, sol)
+    Mt = jnp.swapaxes(M, -1, -2)
+    g = _solve_M(Mt, dz, method, refine_iters)
+
+    # VJP of rhs(dA,db,dc) = dQ.pz with pz = [u; pi(v); 1], including the
+    # global minus from dsol = -Dphi(M^{-1} rhs):
+    gn, gm, gw = g[..., :n], g[..., n : n + m], g[..., n + m]
+    outer = lambda a, b: a[..., :, None] * b[..., None, :]
+    dA = outer(gm, x) - outer(vp, gn)
+    db = gw[..., None] * vp - gm
+    dc = gw[..., None] * x - gn
+    return ConeTangent(dA=dA, db=db, dc=dc)

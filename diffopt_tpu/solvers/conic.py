@@ -1,0 +1,148 @@
+"""Batched conic solver: ADMM on the homogeneous self-dual embedding (SCS).
+
+The reference differentiates solutions produced by SCS; a TPU-native framework
+owns the solve. This is the O'Donoghue et al. splitting: with
+
+    Q = [ 0   A'  c ]
+        [-A   0   b ]
+        [-c' -b'  0 ]     (skew-symmetric, (n+m+1)^2)
+
+iterate::
+
+    ut = (I + Q)^{-1} (u + v)          # one dense solve, factor cached
+    u  = Pi_C(2 ut - (u + v))          # C = R^n x K* x R+
+    v  = v + u - 2 ut + (u + v) - ...  # standard DR update: v += u - ut*2 + (u+v) ... see body
+
+and recover ``x = u_x / tau, y = u_y / tau, s = v_y / tau``.
+
+(I+Q) is constant, so the LU factor is computed once and every iteration is a
+triangular solve + cone projection: pure MXU/VPU work that batches perfectly
+under ``vmap``. Over-relaxation (alpha=1.5) is applied for faster convergence.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import cones as _cones
+from ..ir import ConeProgram, ConeSolution
+
+Array = jax.Array
+
+
+class ConicSolveInfo(NamedTuple):
+    iterations: Array
+    primal_residual: Array
+    dual_residual: Array
+    gap: Array
+    converged: Array
+
+
+def _build_Q(cp: ConeProgram) -> Array:
+    n, m = cp.num_vars, cp.num_rows
+    A, b, c = cp.A, cp.b, cp.c
+    dt = A.dtype
+    row0 = jnp.concatenate(
+        [jnp.zeros((n, n), dt), A.T, c[:, None]], axis=1
+    )
+    row1 = jnp.concatenate([-A, jnp.zeros((m, m), dt), b[:, None]], axis=1)
+    row2 = jnp.concatenate([-c[None, :], -b[None, :], jnp.zeros((1, 1), dt)], axis=1)
+    return jnp.concatenate([row0, row1, row2], axis=0)
+
+
+def _proj_C(cp: ConeProgram, u: Array) -> Array:
+    """Project onto C = R^n x K* x R+ (u-space cone of the embedding)."""
+    n, m = cp.num_vars, cp.num_rows
+    ux, uy, ut = u[:n], u[n : n + m], u[n + m :]
+    uy = _cones.pi(cp.cones, uy)
+    ut = jnp.clip(ut, min=0.0)
+    return jnp.concatenate([ux, uy, ut])
+
+
+class _State(NamedTuple):
+    u: Array
+    v: Array
+    it: Array
+    done: Array
+
+
+def solve(
+    cp: ConeProgram,
+    *,
+    max_iters: int = 10000,
+    tol: float = 1e-10,
+    alpha: float = 1.5,
+    check_every: int = 25,
+) -> Tuple[ConeSolution, ConicSolveInfo]:
+    """Solve one conic instance (vmap over batches)."""
+    n, m = cp.num_vars, cp.num_rows
+    N = n + m + 1
+    dt = cp.A.dtype
+    Q = _build_Q(cp)
+    IQ = jnp.eye(N, dtype=dt) + Q
+    lu, piv = jax.scipy.linalg.lu_factor(IQ)
+
+    u0 = jnp.zeros((N,), dt).at[-1].set(1.0)
+    v0 = jnp.zeros((N,), dt).at[-1].set(1.0)
+
+    def residuals(u, v):
+        tau = jnp.maximum(u[-1], 1e-12)
+        x = u[:n] / tau
+        y = u[n : n + m] / tau
+        s = v[n : n + m] / tau
+        pres = jnp.linalg.norm(cp.A @ x + s - cp.b) / (1.0 + jnp.linalg.norm(cp.b))
+        dres = jnp.linalg.norm(cp.A.T @ y + cp.c) / (1.0 + jnp.linalg.norm(cp.c))
+        pobj = jnp.dot(cp.c, x)
+        dobj = -jnp.dot(cp.b, y)
+        gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return pres, dres, gap
+
+    def body(st: _State) -> _State:
+        def one_iter(carry, _):
+            u, v = carry
+            w = u + v
+            ut = jax.scipy.linalg.lu_solve((lu, piv), w[:, None])[:, 0]
+            ut_relaxed = alpha * ut + (1 - alpha) * u
+            u_new = _proj_C(cp, ut_relaxed - v)
+            v_new = v - ut_relaxed + u_new
+            return (u_new, v_new), None
+
+        (u, v), _ = jax.lax.scan(one_iter, (st.u, st.v), None, length=check_every)
+        pres, dres, gap = residuals(u, v)
+        done = jnp.logical_and(pres < tol, jnp.logical_and(dres < tol, gap < tol))
+        return _State(u, v, st.it + check_every, done)
+
+    def cond(st: _State):
+        return jnp.logical_and(st.it < max_iters, jnp.logical_not(st.done))
+
+    st = jax.lax.while_loop(
+        cond, body, _State(u0, v0, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    )
+
+    tau = jnp.maximum(st.u[-1], 1e-12)
+    x = st.u[:n] / tau
+    y = st.u[n : n + m] / tau
+    s = st.v[n : n + m] / tau
+    pres, dres, gap = residuals(st.u, st.v)
+    info = ConicSolveInfo(
+        iterations=st.it,
+        primal_residual=pres,
+        dual_residual=dres,
+        gap=gap,
+        converged=jnp.logical_and(
+            pres < 10 * tol, jnp.logical_and(dres < 10 * tol, gap < 10 * tol)
+        ),
+    )
+    return ConeSolution(x=x, y=y, s=s), info
+
+
+def solve_batched(cp: ConeProgram, **kw) -> Tuple[ConeSolution, ConicSolveInfo]:
+    fn = partial(solve, **kw)
+    ndim = cp.c.ndim
+    for _ in range(ndim - 1):
+        fn = jax.vmap(fn)
+    return fn(cp)
