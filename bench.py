@@ -1,0 +1,84 @@
+"""Headline benchmark: batched QP KKT solves + VJPs per second per chip.
+
+BASELINE.json config 2 ("Batched dense QPs (n<=100) with full KKT
+factorization and VJP, single chip"); north star is >= 1e4 solves+VJPs/s/chip.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Runs on whatever platform the environment provides (TPU via axon in the
+driver; falls back to CPU transparently).
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def make_batch(B, n, m, p, dtype=jnp.float32, seed=0):
+    from diffopt_tpu import QuadProgram
+
+    rng = np.random.default_rng(seed)
+    L = rng.normal(size=(B, n, n)).astype(np.float32)
+    Q = L @ np.transpose(L, (0, 2, 1)) + n * np.eye(n, dtype=np.float32)
+    return QuadProgram(
+        Q=jnp.asarray(Q, dtype),
+        q=jnp.asarray(rng.normal(size=(B, n)), dtype),
+        A=jnp.asarray(rng.normal(size=(B, p, n)), dtype),
+        b=jnp.asarray(rng.normal(size=(B, p)), dtype),
+        G=jnp.asarray(rng.normal(size=(B, m, n)), dtype),
+        h=jnp.asarray(rng.normal(size=(B, m)) + 2.0, dtype),
+    )
+
+
+def main():
+    from diffopt_tpu import solve_qp
+
+    B, n, m, p = 1024, 64, 32, 16
+
+    qp = make_batch(B, n, m, p)
+
+    def loss(qp):
+        sol = jax.vmap(lambda q: solve_qp(q, max_iters=25))(qp)
+        return jnp.sum(sol.z**2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+
+    # warmup: force the (deferred, remote) compile + first execution with a
+    # scalar host transfer — block_until_ready alone is not reliable over the
+    # axon tunnel and the first transfer pays the AOT compile
+    val, g = step(qp)
+    _ = float(val)
+
+    # vary the input every iteration (the tunnel memoizes executions with
+    # bit-identical inputs); sync each call via scalar host transfers
+    iters = 4
+    qps = [make_batch(B, n, m, p, seed=i + 1) for i in range(iters)]
+    for q_ in qps:
+        jax.block_until_ready(q_)
+    times = []
+    for q_ in qps:
+        t0 = time.perf_counter()
+        val, g = step(q_)
+        _ = float(val) + float(g.q[0, 0])
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+
+    throughput = B / dt
+    baseline = 1e4  # north-star target, BASELINE.json
+    print(
+        json.dumps(
+            {
+                "metric": "batched_qp_kkt_solve_vjp_per_sec_per_chip",
+                "value": round(throughput, 2),
+                "unit": "instances/s",
+                "vs_baseline": round(throughput / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

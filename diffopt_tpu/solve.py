@@ -83,8 +83,8 @@ def solve_qp(
     qp: QuadProgram,
     *,
     max_iters: int = 50,
-    tol: float = 1e-9,
-    reg: float = 1e-11,
+    tol: float | None = None,
+    reg: float | None = None,
     method: str = "lu",
     refine_iters: int = 0,
     mode: str = "vjp",

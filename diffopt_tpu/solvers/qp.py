@@ -56,12 +56,20 @@ def solve(
     qp: QuadProgram,
     *,
     max_iters: int = 50,
-    tol: float = 1e-9,
-    reg: float = 1e-11,
+    tol: float | None = None,
+    reg: float | None = None,
 ) -> Tuple[QPSolution, QPSolveInfo]:
-    """Solve one QP instance (vmap over a batched QuadProgram for batches)."""
+    """Solve one QP instance (vmap over a batched QuadProgram for batches).
+
+    ``tol``/``reg`` default per dtype: (1e-9, 1e-11) in f64, (5e-6, 1e-7) in
+    f32 — complementarity products can't resolve below ~eps.
+    """
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
     dt = qp.Q.dtype
+    if tol is None:
+        tol = 1e-9 if dt == jnp.float64 else 5e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-7
     Q, q, A, b, G, h = qp.Q, qp.q, qp.A, qp.b, qp.G, qp.h
 
     if m == 0 and p == 0:
@@ -80,12 +88,21 @@ def solve(
     eyen = jnp.eye(n, dtype=dt)
 
     def newton_mat(lam, s):
-        """Condensed KKT matrix [[Q + G' diag(lam/s) G + reg I, A'], [A, -reg I]]."""
+        """Cholesky factors of the condensed PD system: eliminate (ds, dlam)
+        to get H = Q + G'(lam/s)G + reg I, then eliminate dnu via the Schur
+        complement S = A H^-1 A' + reg I. Two batched Cholesky factorizations
+        per IPM iteration — the MXU-friendly alternative to an indefinite LU.
+        """
         ls = lam / s
         H = Q + (G.T * ls) @ G if m else Q
-        top = jnp.concatenate([H + reg * eyen, A.T], axis=1)
-        bot = jnp.concatenate([A, -reg * jnp.eye(p, dtype=dt)], axis=1)
-        return jnp.concatenate([top, bot], axis=0)
+        Lh = jnp.linalg.cholesky(H + reg * eyen)
+        if p:
+            HiAt = jax.scipy.linalg.cho_solve((Lh, True), A.T)
+            S = A @ HiAt + reg * jnp.eye(p, dtype=dt)
+            Ls = jnp.linalg.cholesky(S)
+        else:
+            Ls = jnp.zeros((0, 0), dt)
+        return (Lh, Ls)
 
     def residuals(z, nu, lam, s):
         rd = Q @ z + q + G.T @ lam + A.T @ nu  # dual/stationarity
@@ -109,11 +126,15 @@ def solve(
                      S dlam + Lam ds       = -r_cent
         Eliminate ds = -rp_in - G dz, dlam = -(r_cent + lam*ds)/s.
         """
-        ls = lam / s
+        Lh, Ls = K
         rhs_z = -rd + G.T @ ((r_cent - lam * rp_in) / s) if m else -rd
-        rhs = jnp.concatenate([rhs_z, -rp_eq])
-        d = _sym_solve(K, rhs)
-        dz, dnu = d[:n], d[n:]
+        z1 = jax.scipy.linalg.cho_solve((Lh, True), rhs_z)
+        if p:
+            dnu = jax.scipy.linalg.cho_solve((Ls, True), A @ z1 + rp_eq)
+            dz = z1 - jax.scipy.linalg.cho_solve((Lh, True), A.T @ dnu)
+        else:
+            dnu = jnp.zeros((0,), dt)
+            dz = z1
         ds = -rp_in - G @ dz if m else s[:0]
         dlam = -(r_cent + lam * ds) / s if m else lam[:0]
         return dz, dnu, dlam, ds
@@ -211,7 +232,11 @@ def solve(
 
 
 def solve_batched(
-    qp: QuadProgram, *, max_iters: int = 50, tol: float = 1e-9, reg: float = 1e-11
+    qp: QuadProgram,
+    *,
+    max_iters: int = 50,
+    tol: float | None = None,
+    reg: float | None = None,
 ) -> Tuple[QPSolution, QPSolveInfo]:
     """vmap wrapper: all leading dims of the QuadProgram fields are batch."""
     fn = partial(solve, max_iters=max_iters, tol=tol, reg=reg)
