@@ -29,9 +29,11 @@ from .ir import (
     QuadProgram,
 )
 from .cones import ConeSpec
-from . import conic_diff, qp_diff
+from . import bridges, conic_diff, nlp_diff, parameters, qp_diff
 from .qp_diff import forward_differentiate, reverse_differentiate
 from .solve import solve_conic, solve_qp
+from .nlp_diff import NLPProblem, NLPSolution
+from .parameters import ParametricProgram
 
 __version__ = "0.1.0"
 
@@ -45,6 +47,12 @@ __all__ = [
     "ConeSpec",
     "qp_diff",
     "conic_diff",
+    "nlp_diff",
+    "bridges",
+    "parameters",
+    "NLPProblem",
+    "NLPSolution",
+    "ParametricProgram",
     "solve_qp",
     "solve_conic",
     "forward_differentiate",

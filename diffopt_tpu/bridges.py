@@ -1,0 +1,160 @@
+"""Differentiable problem rewrites (the reference's MOI bridges, as functions).
+
+The reference transports derivatives through MOI bridges with per-bridge
+attribute overloads (``/root/reference/src/bridges.jl``). Here each rewrite is
+a plain traced function from IR to IR, so derivative transport is the chain
+rule — with the one nontrivial case, the quadratic-constraint -> SOC rewrite,
+getting the reference's explicit Cholesky-factor calculus
+(``bridges.jl:224-323``) as first-class ops.
+
+Rewrites provided (reference exercised set, SURVEY.md §7):
+
+* ``geq_to_leq``        — sign-flip of >= rows into <= rows
+* ``bounds_to_rows``    — variable bounds as inequality rows
+* ``max_to_min``        — objective sense flip
+* ``qp_to_cone``        — QuadProgram -> ConeProgram (zero + nonneg rows);
+                          the LP/QP-as-conic path the reference gets from its
+                          geometric form
+* ``quad_constraint_to_soc`` — 1/2 x'Qx + a'x + b <= 0 into SOC rows via the
+                          Cholesky factor (MOI QuadtoSOC bridge)
+* ``dU_from_dQ`` / ``dQ_from_dU`` — the triangular derivative transport pair
+                          (``bridges.jl:304-323`` and ``:246-268``)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .cones import ConeSpec
+from .ir import ConeProgram, QuadProgram
+
+Array = jax.Array
+
+
+def geq_to_leq(G_geq: Array, h_geq: Array) -> Tuple[Array, Array]:
+    """``Gx >= h``  ->  ``(-G)x <= (-h)`` (reference test harness sign logic,
+    ``test/utils.jl:104-124``)."""
+    return -G_geq, -h_geq
+
+
+def bounds_to_rows(lb: Array, ub: Array) -> Tuple[Array, Array]:
+    """Finite variable bounds as inequality rows ``Gx <= h``
+    (``test/utils.jl:109-135``). Expects concrete lb/ub (static pattern)."""
+    import numpy as np
+
+    lb = np.asarray(lb, float)
+    ub = np.asarray(ub, float)
+    n = lb.shape[0]
+    rows = []
+    rhs = []
+    for j in np.nonzero(np.isfinite(ub))[0]:
+        e = np.zeros(n)
+        e[j] = 1.0
+        rows.append(e)
+        rhs.append(ub[j])
+    for j in np.nonzero(np.isfinite(lb))[0]:
+        e = np.zeros(n)
+        e[j] = -1.0
+        rows.append(e)
+        rhs.append(-lb[j])
+    if not rows:
+        return jnp.zeros((0, n)), jnp.zeros((0,))
+    return jnp.asarray(np.stack(rows)), jnp.asarray(np.array(rhs))
+
+
+def max_to_min(Q: Array, q: Array) -> Tuple[Array, Array]:
+    """max 1/2 x'Qx + q'x == min of the negation (``ConicProgram.jl:206-208``)."""
+    return -Q, -q
+
+
+def qp_to_cone(qp: QuadProgram) -> ConeProgram:
+    """Lower an (affine-objective) QuadProgram into conic geometric form:
+    rows = [Az + s = b, s in {0}] + [Gz + s = h, s in R+]. Requires Q == 0
+    (LPs); quadratic objectives lower via an epigraph SOC (see
+    :func:`quad_constraint_to_soc`)."""
+    p, m = qp.num_eq, qp.num_ineq
+    A = jnp.concatenate([qp.A, qp.G], axis=-2)
+    b = jnp.concatenate([qp.b, qp.h], axis=-1)
+    cones = ConeSpec([("zero", p), ("nonneg", m)])
+    return ConeProgram(A=A, b=b, c=qp.q, cones=cones)
+
+
+def quad_constraint_to_soc(
+    Q: Array, a: Array, beta: Array
+) -> Tuple[Array, Array, ConeSpec]:
+    """Rewrite ``1/2 x'Qx + a'x + beta <= 0`` (Q PSD) into SOC rows.
+
+    MOI's QuadtoSOC bridge produces ``(1, -a'x - beta, Ux) in RSOC`` with
+    ``Q = U'U`` (``bridges.jl:90-98``); composing with the standard
+    RSOC->SOC map gives the SOC block ``(t+u, t-u, sqrt2 Ux)``.
+
+    Returns ``(A_rows, b_rows, spec)`` in ``Ax + s = b`` orientation
+    (s = row value). Written entirely in differentiable jnp, so forward
+    and reverse derivative transport (the role of ``bridges.jl:109-222``)
+    falls out of AD through the Cholesky factorization.
+    """
+    n = a.shape[-1]
+    L = jnp.linalg.cholesky(Q)
+    U = jnp.swapaxes(L, -1, -2)  # Q = U'U with U upper
+    sq2 = jnp.sqrt(jnp.asarray(2.0, Q.dtype))
+    # s rows as functions of x:  s1 = 1 + (-a'x - beta) = t+u, s2 = 1 - u,
+    # s3.. = sqrt2 * U x  ->  A = -coeffs, b = constants
+    A1 = a[..., None, :]  # s1 = (1 - beta) - a'x  -> A row = +a
+    b1 = (1.0 - beta)[..., None]
+    A2 = -a[..., None, :]  # s2 = (1 + beta) + a'x -> A row = -a
+    b2 = (1.0 + beta)[..., None]
+    A3 = -sq2 * U
+    b3 = jnp.zeros(Q.shape[:-2] + (n,), Q.dtype)
+    A_rows = jnp.concatenate([A1, A2, A3], axis=-2)
+    b_rows = jnp.concatenate([b1, b2, b3], axis=-1)
+    return A_rows, b_rows, ConeSpec([("soc", n + 2)])
+
+
+def dU_from_dQ(dQ: Array, U: Array) -> Array:
+    """Solve ``dQ = dU'U + U'dU`` for upper-triangular ``dU``
+    (``bridges.jl:270-323``) — forward transport of a quadratic-form
+    perturbation through its Cholesky factor.
+
+    Closed form: with ``S = U^-T dQ U^-1`` (symmetric),
+    ``dU = (strict_triu(S) + diag(S)/2) U``.
+    """
+    T1 = jax.scipy.linalg.solve_triangular(U, dQ, lower=False, trans=1)
+    S = jax.scipy.linalg.solve_triangular(
+        U, jnp.swapaxes(T1, -1, -2), lower=False, trans=1
+    )
+    S = jnp.swapaxes(S, -1, -2)
+    F = jnp.triu(S, 1) + 0.5 * jnp.vectorize(jnp.diag, signature="(n)->(n,n)")(
+        jnp.diagonal(S, axis1=-2, axis2=-1)
+    )
+    return F @ U
+
+
+def dQ_from_dU(dU: Array, U: Array) -> Array:
+    """Return the symmetric ``dQ`` solving ``triu(dU) = 2 triu(U dQ)``
+    (``bridges.jl:224-268``) — reverse transport from SOC coordinates back to
+    the quadratic form. Column-by-column triangular solves, unrolled at trace
+    time (n is static)."""
+    n = dU.shape[-1]
+    W = dU / 2.0
+    # process columns j = n-1 .. 0; after processing, W[:, j] holds dQ[:, j]
+    cols = [None] * n
+    for j in range(n - 1, -1, -1):
+        col = W[..., : j + 1, j]
+        if j + 1 < n:
+            later = jnp.stack([cols[k][..., j] for k in range(j + 1, n)], axis=-1)
+            col = col - jnp.einsum(
+                "...ik,...k->...i", U[..., : j + 1, j + 1 :], later
+            )
+        sol = jax.scipy.linalg.solve_triangular(
+            U[..., : j + 1, : j + 1], col[..., None], lower=False
+        )[..., 0]
+        full = jnp.concatenate(
+            [sol, jnp.zeros(dU.shape[:-2] + (n - j - 1,), dU.dtype)], axis=-1
+        )
+        cols[j] = full
+    out = jnp.stack(cols, axis=-1)
+    # symmetrize: lower triangle mirrors upper
+    return jnp.triu(out) + jnp.swapaxes(jnp.triu(out, 1), -1, -2)
