@@ -72,8 +72,60 @@ def residual_matrix(cp: ConeProgram, sol: ConeSolution) -> Array:
     return jnp.concatenate([row0, row1, row2], axis=-2)
 
 
+def residual_operator(cp: ConeProgram, sol: ConeSolution):
+    """Matrix-free (matvec, rmatvec) for M — applies A, A', and DPi blockwise
+    via :func:`diffopt_tpu.cones.dpi_apply` without materializing the
+    block-diagonal derivative (crucial for large PSD blocks where dense DPi
+    is (tri x tri))."""
+    A, b, c = cp.A, cp.b, cp.c
+    n, m = cp.num_vars, cp.num_rows
+    v = sol.y - sol.s
+
+    def matvec(z):
+        zu, zv, zw = z[:n], z[n : n + m], z[n + m]
+        dpi_zv = _cones.dpi_apply(cp.cones, v, zv)
+        top = A.T @ dpi_zv + c * zw
+        mid = -A @ zu - dpi_zv + zv + b * zw
+        bot = -jnp.dot(c, zu) - jnp.dot(b, dpi_zv)
+        return jnp.concatenate([top, mid, bot[None]])
+
+    def rmatvec(z):
+        zu, zv, zw = z[:n], z[n : n + m], z[n + m]
+        # M' = [0, -A', -c; DPi'A, -DPi'+I, -DPi'b; c', b', 0]
+        dpi_t = _cones.dpi_rmatvec(cp.cones, v, A @ zu - zv - b * zw)
+        top = -A.T @ zv - c * zw
+        mid = dpi_t + zv
+        bot = jnp.dot(c, zu) + jnp.dot(b, zv)
+        return jnp.concatenate([top, mid, bot[None]])
+
+    return matvec, rmatvec
+
+
 def _solve_M(M: Array, rhs: Array, method: str, refine_iters: int) -> Array:
     return linalg.solve(M, rhs, method, refine_iters=refine_iters)
+
+
+def _solve_system(
+    cp: ConeProgram,
+    sol: ConeSolution,
+    rhs: Array,
+    method: str,
+    refine_iters: int,
+    transpose: bool,
+) -> Array:
+    """Solve M z = rhs (or M' z = rhs): dense (materialized) methods or the
+    matrix-free 'lsqr' path."""
+    if method == "lsqr":
+        from .ops.lsqr import lsqr
+
+        mv, rmv = residual_operator(cp, sol)
+        if transpose:
+            mv, rmv = rmv, mv
+        return lsqr(mv, rmv, rhs, rhs.shape[-1]).x
+    M = residual_matrix(cp, sol)
+    if transpose:
+        M = jnp.swapaxes(M, -1, -2)
+    return _solve_M(M, rhs, method, refine_iters)
 
 
 def forward_differentiate(
@@ -99,8 +151,7 @@ def forward_differentiate(
         ],
         axis=-1,
     )
-    M = residual_matrix(cp, sol)
-    dz = _solve_M(M, rhs, method, refine_iters)
+    dz = _solve_system(cp, sol, rhs, method, refine_iters, transpose=False)
     du, dv, dw = dz[..., :n], dz[..., n : n + m], dz[..., n + m]
 
     dpidv = _cones.dpi_apply(cp.cones, v, dv)
@@ -145,9 +196,7 @@ def reverse_differentiate(
     # identity, ``test/utils.jl:334``; the transpose is what makes
     # <JVP(d), seed> == <d, VJP(seed)> hold, and matches diffcp's
     # adjoint_derivative).
-    M = residual_matrix(cp, sol)
-    Mt = jnp.swapaxes(M, -1, -2)
-    g = _solve_M(Mt, dz, method, refine_iters)
+    g = _solve_system(cp, sol, dz, method, refine_iters, transpose=True)
 
     # VJP of rhs(dA,db,dc) = dQ.pz with pz = [u; pi(v); 1], including the
     # global minus from dsol = -Dphi(M^{-1} rhs):
