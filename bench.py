@@ -41,7 +41,7 @@ def main():
     qp = make_batch(B, n, m, p)
 
     def loss(qp):
-        sol = jax.vmap(lambda q: solve_qp(q, max_iters=25))(qp)
+        sol = jax.vmap(lambda q: solve_qp(q, max_iters=25, method="ldl"))(qp)
         return jnp.sum(sol.z**2)
 
     step = jax.jit(jax.value_and_grad(loss))

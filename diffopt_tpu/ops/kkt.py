@@ -110,8 +110,15 @@ def qp_forward(
     rhs2 = lam * (_mv(dqp.dG, z) - dqp.dh)
     rhs3 = _mv(dqp.dA, z) - dqp.db
     rhs = jnp.concatenate([rhs1, rhs2, rhs3], axis=-1)
-    J = kkt_jacobian(qp, sol)
-    d = -linalg.solve(J, rhs, method, refine_iters=refine_iters)
+    if method == "ldl" and qp.num_vars + qp.num_ineq + qp.num_eq > 128:
+        method = "lu"  # LDL kernel is single-tile; large systems take the LU path
+    if method == "ldl":
+        d = -qp_kkt_solve_ldl(
+            qp, sol, rhs, transpose=False, refine_iters=max(refine_iters, 2)
+        )
+    else:
+        J = kkt_jacobian(qp, sol)
+        d = -linalg.solve(J, rhs, method, refine_iters=refine_iters)
     return _split(d, qp.num_vars, qp.num_ineq)
 
 
@@ -130,8 +137,15 @@ def qp_reverse_system(
     here dual seeds are first-class.
     """
     rhs = jnp.concatenate([seed.dz, seed.dlam, seed.dnu], axis=-1)
-    Jt = jnp.swapaxes(kkt_jacobian(qp, sol), -1, -2)
-    g = -linalg.solve(Jt, rhs, method, refine_iters=refine_iters)
+    if method == "ldl" and qp.num_vars + qp.num_ineq + qp.num_eq > 128:
+        method = "lu"
+    if method == "ldl":
+        g = -qp_kkt_solve_ldl(
+            qp, sol, rhs, transpose=True, refine_iters=max(refine_iters, 2)
+        )
+    else:
+        Jt = jnp.swapaxes(kkt_jacobian(qp, sol), -1, -2)
+        g = -linalg.solve(Jt, rhs, method, refine_iters=refine_iters)
     return _split(g, qp.num_vars, qp.num_ineq)
 
 
@@ -201,3 +215,114 @@ def kkt_residual(qp: QuadProgram, sol: QPSolution) -> Array:
     r2 = lam * (_mv(qp.G, z) - qp.h)
     r3 = _mv(qp.A, z) - qp.b
     return jnp.concatenate([r1, r2, r3], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Symmetrized (quasi-definite) KKT path — the Pallas-accelerated solve.
+#
+# J = R K with R = diag(I, diag(lam_e), I) and
+#     K = [ Q + rp I    G'              A'   ]
+#         [ G           diag(s/lam_e)-rn I  0 ]
+#         [ A           0              -rn I ]
+# where s = Gz - h <= 0 and lam_e = max(lam, floor). K is symmetric
+# quasi-definite, so an unpivoted batched LDL' factorization (Pallas,
+# batch-along-lanes) is stable (Vanderbei 1995), and ONE factorization serves
+# both the forward (J d = rhs) and adjoint (J' g = seed) solves:
+#     forward:  d = K^-1 (R^-1 rhs)     (rhs given with row2 pre-divided)
+#     adjoint:  w = K^-1 seed,  g = R^-1 w.
+# Regularization and the lam floor are removed by iterative refinement
+# against the true (unsymmetrized) J.
+# ---------------------------------------------------------------------------
+
+
+def _kkt_symmetric(qp: QuadProgram, sol: QPSolution, lam_floor, reg):
+    n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
+    dt = qp.Q.dtype
+    slack = qp.G @ sol.z - qp.h
+    lam_e = jnp.maximum(sol.lam, lam_floor)
+    row0 = jnp.concatenate(
+        [
+            qp.Q + reg * jnp.eye(n, dtype=dt),
+            jnp.swapaxes(qp.G, -1, -2),
+            jnp.swapaxes(qp.A, -1, -2),
+        ],
+        axis=-1,
+    )
+    row1 = jnp.concatenate(
+        [
+            qp.G,
+            _bdiag(slack / lam_e - reg),
+            jnp.zeros(slack.shape[:-1] + (m, p), dt),
+        ],
+        axis=-1,
+    )
+    row2 = jnp.concatenate(
+        [
+            qp.A,
+            jnp.zeros(qp.b.shape[:-1] + (p, m), dt),
+            -reg * jnp.eye(p, dtype=dt),
+        ],
+        axis=-1,
+    )
+    return jnp.concatenate([row0, row1, row2], axis=-2), lam_e
+
+
+def _jmatvec(qp: QuadProgram, sol: QPSolution, x: Array, transpose: bool) -> Array:
+    """Apply the true J (or J') without materializing it."""
+    n, m = qp.num_vars, qp.num_ineq
+    slack = qp.G @ sol.z - qp.h
+    xz, xl, xn = x[..., :n], x[..., n : n + m], x[..., n + m :]
+    if not transpose:
+        r0 = _mv(qp.Q, xz) + _rmv(qp.G, xl) + _rmv(qp.A, xn)
+        r1 = sol.lam * _mv(qp.G, xz) + slack * xl
+        r2 = _mv(qp.A, xz)
+    else:
+        r0 = _mv(qp.Q, xz) + _rmv(qp.G, sol.lam * xl) + _rmv(qp.A, xn)
+        r1 = _mv(qp.G, xz) + slack * xl
+        r2 = _mv(qp.A, xz)
+    return jnp.concatenate([r0, r1, r2], axis=-1)
+
+
+def qp_kkt_solve_ldl(
+    qp: QuadProgram,
+    sol: QPSolution,
+    rhs: Array,
+    *,
+    transpose: bool,
+    refine_iters: int = 2,
+    lam_floor: float | None = None,
+    reg: float | None = None,
+) -> Array:
+    """Solve J x = rhs (or J' x = rhs) via the Pallas LDL' path.
+
+    ``rhs`` is the true right-hand side (NOT pre-scaled). Refinement steps
+    use true-J matvecs to remove the regularization and lam-floor bias.
+    """
+    dt = qp.Q.dtype
+    if lam_floor is None:
+        lam_floor = 1e-12 if dt == jnp.float64 else 1e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-6
+    n, m = qp.num_vars, qp.num_ineq
+
+    from .pallas.dispatch import ldl_factor, ldl_solve
+
+    K, lam_e = _kkt_symmetric(qp, sol, lam_floor, reg)
+    L, d = ldl_factor(K)
+
+    def approx_solve(r):
+        if not transpose:
+            r_scaled = jnp.concatenate(
+                [r[..., :n], r[..., n : n + m] / lam_e, r[..., n + m :]], axis=-1
+            )
+            return ldl_solve(L, d, r_scaled)
+        w = ldl_solve(L, d, r)
+        return jnp.concatenate(
+            [w[..., :n], w[..., n : n + m] / lam_e, w[..., n + m :]], axis=-1
+        )
+
+    x = approx_solve(rhs)
+    for _ in range(refine_iters):
+        r = rhs - _jmatvec(qp, sol, x, transpose)
+        x = x + approx_solve(r)
+    return x

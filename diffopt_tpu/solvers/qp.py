@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ir import QPSolution, QuadProgram
+from ..ops.pallas.dispatch import chol, chol_solve
 
 Array = jax.Array
 
@@ -95,11 +96,11 @@ def solve(
         """
         ls = lam / s
         H = Q + (G.T * ls) @ G if m else Q
-        Lh = jnp.linalg.cholesky(H + reg * eyen)
+        Lh = chol(H + reg * eyen)
         if p:
-            HiAt = jax.scipy.linalg.cho_solve((Lh, True), A.T)
+            HiAt = chol_solve(Lh, A.T)
             S = A @ HiAt + reg * jnp.eye(p, dtype=dt)
-            Ls = jnp.linalg.cholesky(S)
+            Ls = chol(S)
         else:
             Ls = jnp.zeros((0, 0), dt)
         return (Lh, Ls)
@@ -128,10 +129,10 @@ def solve(
         """
         Lh, Ls = K
         rhs_z = -rd + G.T @ ((r_cent - lam * rp_in) / s) if m else -rd
-        z1 = jax.scipy.linalg.cho_solve((Lh, True), rhs_z)
+        z1 = chol_solve(Lh, rhs_z)
         if p:
-            dnu = jax.scipy.linalg.cho_solve((Ls, True), A @ z1 + rp_eq)
-            dz = z1 - jax.scipy.linalg.cho_solve((Lh, True), A.T @ dnu)
+            dnu = chol_solve(Ls, A @ z1 + rp_eq)
+            dz = z1 - chol_solve(Lh, A.T @ dnu)
         else:
             dnu = jnp.zeros((0,), dt)
             dz = z1
