@@ -1,0 +1,200 @@
+"""Schur-complement reduction for block-arrow (scenario-coupled) systems.
+
+BASELINE config 5: scenario batches of QPs coupled through a small set of
+first-stage variables. The KKT system of
+
+    min  sum_s [ 1/2 x_s'Q_s x_s + q_s'x_s ] + 1/2 z'Q0 z + q0'z
+    s.t. A_s x_s + B_s z = b_s   (dual nu_s)
+         G_s x_s <= h_s          (dual lam_s)
+
+is block-arrow: independent per-scenario KKT blocks K_s over (x_s, lam_s,
+nu_s), a small coupling block over z, and cross blocks C_s carrying B_s. Each
+device factorizes its local scenarios with the Pallas LDL' kernel, local
+Schur contributions ``C' K^-1 C`` are ``psum``-reduced over the mesh axis
+(ICI), the small coupling system is solved replicated, and back-substitution
+is local. No reference counterpart (the reference is single-threaded,
+SURVEY.md §2) — this is the TPU-native scale-out mandated by BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ir import _pytree_dataclass
+from ..ops.pallas.dispatch import ldl_factor, ldl_solve
+
+Array = jax.Array
+
+
+def schur_arrow_solve(
+    Kloc: Array,
+    C: Array,
+    K0: Array,
+    rloc: Array,
+    r0: Array,
+    axis_name: Optional[str] = None,
+) -> Tuple[Array, Array]:
+    """Solve the symmetric block-arrow system
+
+        [ blkdiag(Kloc)   C   ] [xloc]   [rloc]
+        [ C'              K0  ] [x0  ] = [r0  ]
+
+    with ``Kloc (S, nb, nb)`` quasi-definite local blocks, ``C (S, nb, c)``,
+    ``K0 (c, c)``. When ``axis_name`` is given (inside ``shard_map``), S is
+    the local shard and the coupling reduction is a ``psum`` over the mesh.
+    """
+    L, d = jax.vmap(lambda K: ldl_factor(K))(Kloc)
+    KinvC = jax.vmap(ldl_solve)(L, d, C)  # (S, nb, c)
+    Kinvr = jax.vmap(ldl_solve)(L, d, rloc)  # (S, nb)
+    S_c = jnp.einsum("sic,sid->scd", C, KinvC)
+    r_c = jnp.einsum("sic,si->sc", C, Kinvr)
+    S_sum = jnp.sum(S_c, axis=0)
+    r_sum = jnp.sum(r_c, axis=0)
+    if axis_name is not None:
+        S_sum = jax.lax.psum(S_sum, axis_name)
+        r_sum = jax.lax.psum(r_sum, axis_name)
+    S0 = K0 - S_sum
+    x0 = jnp.linalg.solve(S0, (r0 - r_sum)[:, None])[:, 0]
+    xloc = jax.vmap(ldl_solve)(L, d, rloc - jnp.einsum("sic,c->si", C, x0))
+    return xloc, x0
+
+
+@_pytree_dataclass
+class TwoStageQP:
+    """Scenario-coupled QP (see module docstring). Shapes: ``Qs (S, n, n)``,
+    ``qs (S, n)``, ``As (S, p, n)``, ``bs (S, p)``, ``Gs (S, m, n)``,
+    ``hs (S, m)``, ``Bs (S, p, c)``, ``Q0 (c, c)``, ``q0 (c,)``."""
+
+    Qs: Array
+    qs: Array
+    As: Array
+    bs: Array
+    Gs: Array
+    hs: Array
+    Bs: Array
+    Q0: Array
+    q0: Array
+
+    @property
+    def dims(self):
+        S, n = self.qs.shape
+        p = self.bs.shape[-1]
+        m = self.hs.shape[-1]
+        c = self.q0.shape[-1]
+        return S, n, m, p, c
+
+
+class TwoStageSolution(NamedTuple):
+    xs: Array  # (S, n)
+    lams: Array  # (S, m)
+    nus: Array  # (S, p)
+    z: Array  # (c,)
+
+
+def to_monolithic(ts: TwoStageQP):
+    """Flatten into one big QuadProgram over [x_1..x_S, z] (test oracle)."""
+    from ..ir import QuadProgram
+
+    S, n, m, p, c = ts.dims
+    N = S * n + c
+    dt = ts.Qs.dtype
+    Q = jnp.zeros((N, N), dt)
+    for s in range(S):
+        Q = Q.at[s * n : (s + 1) * n, s * n : (s + 1) * n].set(ts.Qs[s])
+    Q = Q.at[S * n :, S * n :].set(ts.Q0)
+    q = jnp.concatenate([ts.qs.reshape(-1), ts.q0])
+    A = jnp.zeros((S * p, N), dt)
+    for s in range(S):
+        A = A.at[s * p : (s + 1) * p, s * n : (s + 1) * n].set(ts.As[s])
+        A = A.at[s * p : (s + 1) * p, S * n :].set(ts.Bs[s])
+    b = ts.bs.reshape(-1)
+    G = jnp.zeros((S * m, N), dt)
+    for s in range(S):
+        G = G.at[s * m : (s + 1) * m, s * n : (s + 1) * n].set(ts.Gs[s])
+    h = ts.hs.reshape(-1)
+    return QuadProgram(Q=Q, q=q, A=A, b=b, G=G, h=h)
+
+
+def _scenario_kkt_blocks(ts: TwoStageQP, sol: TwoStageSolution, lam_floor, reg):
+    """Per-scenario symmetrized KKT blocks K_s over (x_s, lam_s, nu_s), the
+    cross blocks C_s (B_s in the nu rows), and the coupling block K0."""
+    S, n, m, p, c = ts.dims
+    dt = ts.Qs.dtype
+    slack = jnp.einsum("smn,sn->sm", ts.Gs, sol.xs) - ts.hs
+    lam_e = jnp.maximum(sol.lams, lam_floor)
+
+    nb = n + m + p
+    K = jnp.zeros((S, nb, nb), dt)
+    K = K.at[:, :n, :n].set(ts.Qs + reg * jnp.eye(n, dtype=dt))
+    K = K.at[:, :n, n : n + m].set(jnp.swapaxes(ts.Gs, -1, -2))
+    K = K.at[:, n : n + m, :n].set(ts.Gs)
+    idx = jnp.arange(m)
+    K = K.at[:, n + idx, n + idx].set(slack / lam_e - reg)
+    K = K.at[:, :n, n + m :].set(jnp.swapaxes(ts.As, -1, -2))
+    K = K.at[:, n + m :, :n].set(ts.As)
+    idp = jnp.arange(p)
+    K = K.at[:, n + m + idp, n + m + idp].set(-reg)
+
+    C = jnp.zeros((S, nb, c), dt)
+    C = C.at[:, n + m :, :].set(ts.Bs)
+
+    K0 = ts.Q0 + reg * jnp.eye(c, dtype=dt)
+    return K, C, K0, lam_e
+
+
+def two_stage_forward_sensitivity(
+    ts: TwoStageQP,
+    sol: TwoStageSolution,
+    dts: TwoStageQP,
+    *,
+    axis_name: Optional[str] = None,
+    lam_floor: float | None = None,
+    reg: float | None = None,
+) -> TwoStageSolution:
+    """JVP of the coupled solution map along a data perturbation ``dts``,
+    computed via the Schur-arrow solve — never materializing the monolithic
+    KKT system. Inside ``shard_map`` the scenario axis is sharded and the
+    coupling reduction rides ``psum`` over ``axis_name``.
+    """
+    S, n, m, p, c = ts.dims
+    dt = ts.Qs.dtype
+    if lam_floor is None:
+        lam_floor = 1e-12 if dt == jnp.float64 else 1e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-6
+
+    K, C, K0, lam_e = _scenario_kkt_blocks(ts, sol, lam_floor, reg)
+
+    # AK17-style RHS, block-arrow layout. Scenario rows:
+    #   r_x  = dQ_s x_s + dq_s + dG_s' lam_s + dA_s' nu_s
+    #   r_l  = (dG_s x_s - dh_s)           (pre-divided complementarity row)
+    #   r_nu = dA_s x_s + dB_s z - db_s
+    # Coupling row: r_z = dQ0 z + dq0 + sum_s dB_s' nu_s   (psum over mesh)
+    r_x = (
+        jnp.einsum("sij,sj->si", dts.Qs, sol.xs)
+        + dts.qs
+        + jnp.einsum("smj,sm->sj", dts.Gs, sol.lams)
+        + jnp.einsum("spj,sp->sj", dts.As, sol.nus)
+    )
+    r_l = jnp.einsum("smj,sj->sm", dts.Gs, sol.xs) - dts.hs
+    r_nu = (
+        jnp.einsum("spj,sj->sp", dts.As, sol.xs)
+        + jnp.einsum("spc,c->sp", dts.Bs, sol.z)
+        - dts.bs
+    )
+    rloc = -jnp.concatenate([r_x, r_l, r_nu], axis=-1)
+    r_z_local = jnp.einsum("spc,sp->c", dts.Bs, sol.nus)
+    if axis_name is not None:
+        r_z_local = jax.lax.psum(r_z_local, axis_name)
+    r0 = -(jnp.einsum("cd,d->c", dts.Q0, sol.z) + dts.q0 + r_z_local)
+
+    dloc, dz = schur_arrow_solve(K, C, K0, rloc, r0, axis_name=axis_name)
+    dxs = dloc[:, :n]
+    dlams = dloc[:, n : n + m]
+    dnus = dloc[:, n + m :]
+    return TwoStageSolution(xs=dxs, lams=dlams, nus=dnus, z=dz)
