@@ -29,11 +29,12 @@ from .ir import (
     QuadProgram,
 )
 from .cones import ConeSpec
-from . import bridges, conic_diff, nlp_diff, parameters, qp_diff
+from . import bridges, conic_diff, native, nlp_diff, parameters, qp_diff, utils
 from .qp_diff import forward_differentiate, reverse_differentiate
 from .solve import solve_conic, solve_qp
 from .nlp_diff import NLPProblem, NLPSolution
 from .parameters import ParametricProgram
+from .api import QPDiffContext, NotSolvedError
 
 __version__ = "0.1.0"
 
@@ -53,6 +54,10 @@ __all__ = [
     "NLPProblem",
     "NLPSolution",
     "ParametricProgram",
+    "QPDiffContext",
+    "NotSolvedError",
+    "native",
+    "utils",
     "solve_qp",
     "solve_conic",
     "forward_differentiate",

@@ -47,7 +47,7 @@ def kkt_jacobian(qp: QuadProgram, sol: QPSolution) -> Array:
     (``QuadraticProgram.jl:256-282``).
     """
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
-    slack = qp.G @ sol.z - qp.h  # (m,)
+    slack = _mv(qp.G, sol.z) - qp.h  # (..., m)
     row0 = jnp.concatenate(
         [qp.Q, jnp.swapaxes(qp.G, -1, -2), jnp.swapaxes(qp.A, -1, -2)], axis=-1
     )

@@ -1,0 +1,94 @@
+"""Session API (cached factorization), config, and heterogeneous batching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffopt_tpu import QuadProgram, QPTangent
+from diffopt_tpu.api import NotSolvedError, QPDiffContext
+from diffopt_tpu.qp_diff import forward_differentiate, reverse_differentiate
+from diffopt_tpu.solvers import qp as qpsolver
+from diffopt_tpu.utils.batching import (
+    bucket_by_shape,
+    pad_and_stack,
+    unpad_solution,
+)
+
+
+def _qp(rng, n=6, m=4, p=2):
+    L = rng.normal(size=(n, n))
+    return QuadProgram.make(
+        Q=L @ L.T + n * np.eye(n),
+        q=rng.normal(size=n),
+        A=rng.normal(size=(p, n)),
+        b=rng.normal(size=p),
+        G=rng.normal(size=(m, n)),
+        h=rng.normal(size=m) + 1.0,
+    )
+
+
+def test_context_matches_functional_verbs():
+    rng = np.random.default_rng(0)
+    qp = jax.tree.map(lambda x: x[None], _qp(rng))  # batch of 1
+    ctx = QPDiffContext(qp)
+    assert not np.isnan(ctx._factor_time_sec)
+
+    dqp = QPTangent(
+        dQ=jnp.zeros_like(qp.Q), dq=jnp.ones_like(qp.q),
+        dA=jnp.zeros_like(qp.A), db=jnp.zeros_like(qp.b),
+        dG=jnp.zeros_like(qp.G), dh=jnp.zeros_like(qp.h),
+    )
+    fwd = ctx.forward(dqp)
+    ref = jax.vmap(lambda q, s, d: forward_differentiate(q, s, d, method="lu"))(
+        qp, ctx.sol, dqp
+    )
+    np.testing.assert_allclose(fwd.dz, ref.dz, atol=1e-9)
+    assert np.isfinite(ctx.differentiate_time_sec)  # DifferentiateTimeSec parity
+
+    seed = jnp.ones_like(qp.q)
+    rev = ctx.reverse(seed)
+    ref_r = jax.vmap(lambda q, s, z: reverse_differentiate(q, s, z, method="lu"))(
+        qp, ctx.sol, seed
+    )
+    np.testing.assert_allclose(rev.dq, ref_r.dq, atol=1e-9)
+    np.testing.assert_allclose(rev.dh, ref_r.dh, atol=1e-9)
+
+    # repeated differentiation reuses the factorization (no re-solve)
+    rev2 = ctx.reverse(2 * seed)
+    np.testing.assert_allclose(rev2.dq, 2 * np.asarray(ref_r.dq), atol=1e-9)
+
+
+def test_context_refuses_infeasible():
+    qp = QuadProgram.make(q=[1.0], G=[[1.0], [-1.0]], h=[1.0, -2.0])
+    qp = jax.tree.map(lambda x: x[None], qp)
+    with pytest.raises(NotSolvedError):
+        QPDiffContext(qp)
+
+
+def test_pad_and_stack_preserves_solutions():
+    rng = np.random.default_rng(1)
+    qps = [_qp(rng, n=4, m=2, p=1), _qp(rng, n=6, m=4, p=2), _qp(rng, n=5, m=3, p=0)]
+    refs = [qpsolver.solve(q)[0] for q in qps]
+    batched, dims = pad_and_stack(qps)
+    sol, info = qpsolver.solve_batched(batched)
+    assert bool(np.all(info.converged))
+    outs = unpad_solution(sol, dims)
+    for ref, out in zip(refs, outs):
+        np.testing.assert_allclose(out.z, ref.z, atol=1e-6)
+        np.testing.assert_allclose(out.lam, ref.lam, atol=1e-6)
+        np.testing.assert_allclose(out.nu, ref.nu, atol=1e-6)
+
+
+def test_bucketing():
+    rng = np.random.default_rng(2)
+    qps = [
+        _qp(rng, n=4, m=2, p=1) for _ in range(3)
+    ] + [_qp(rng, n=8, m=5, p=2) for _ in range(2)] + [
+        _qp(rng, n=16, m=8, p=4)
+    ]
+    buckets = bucket_by_shape(qps, max_buckets=2)
+    assert sum(len(v) for v in buckets.values()) == len(qps)
+    for (n, m, p), idxs in buckets.items():
+        for i in idxs:
+            assert qps[i].num_vars <= n and qps[i].num_ineq <= m
