@@ -198,3 +198,56 @@ def two_stage_forward_sensitivity(
     dlams = dloc[:, n : n + m]
     dnus = dloc[:, n + m :]
     return TwoStageSolution(xs=dxs, lams=dlams, nus=dnus, z=dz)
+
+
+def two_stage_reverse_sensitivity(
+    ts: TwoStageQP,
+    sol: TwoStageSolution,
+    dxs: Array,
+    dz: Array,
+    *,
+    axis_name: Optional[str] = None,
+    lam_floor: float | None = None,
+    reg: float | None = None,
+) -> TwoStageQP:
+    """VJP of the coupled solution map: data cotangents for primal seeds
+    (``dxs`` per scenario, ``dz`` on the coupling variables).
+
+    The symmetrized arrow system K is symmetric, so the adjoint reuses the
+    same Schur solve: with J = R K (R rescaling the lam rows), J' g = -seed
+    becomes K w = -seed, g_lam = w_lam / lam_e. Cotangents then follow the
+    AK17 accumulation per block, plus the coupling blocks:
+    dB_s = g_nu_s z' + nu_s g_z', dQ0 = (g_z z' + z g_z')/2, dq0 = g_z.
+    """
+    S, n, m, p, c = ts.dims
+    dt = ts.Qs.dtype
+    if lam_floor is None:
+        lam_floor = 1e-12 if dt == jnp.float64 else 1e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-6
+
+    K, C, K0, lam_e = _scenario_kkt_blocks(ts, sol, lam_floor, reg)
+    rloc = -jnp.concatenate(
+        [dxs, jnp.zeros((S, m), dt), jnp.zeros((S, p), dt)], axis=-1
+    )
+    r0 = -dz
+    wloc, wz = schur_arrow_solve(K, C, K0, rloc, r0, axis_name=axis_name)
+    gx = wloc[:, :n]
+    glam = wloc[:, n : n + m] / lam_e
+    gnu = wloc[:, n + m :]
+    gz = wz
+
+    outer = lambda a, b: a[..., :, None] * b[..., None, :]
+    xs, lams, nus, z = sol.xs, sol.lams, sol.nus, sol.z
+    dQs = 0.5 * (outer(gx, xs) + outer(xs, gx))
+    dqs = gx
+    dGs = outer(lams * glam, xs) + outer(lams, gx)
+    dhs = -lams * glam
+    dAs = outer(gnu, xs) + outer(nus, gx)
+    dbs = -gnu
+    dBs = gnu[..., :, None] * z[None, None, :] + nus[..., :, None] * gz[None, None, :]
+    dQ0 = 0.5 * (jnp.outer(gz, z) + jnp.outer(z, gz))
+    dq0 = gz
+    return TwoStageQP(
+        Qs=dQs, qs=dqs, As=dAs, bs=dbs, Gs=dGs, hs=dhs, Bs=dBs, Q0=dQ0, q0=dq0
+    )

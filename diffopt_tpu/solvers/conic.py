@@ -84,7 +84,9 @@ def solve(
     dt = cp.A.dtype
     Q = _build_Q(cp)
     IQ = jnp.eye(N, dtype=dt) + Q
-    lu, piv = jax.scipy.linalg.lu_factor(IQ)
+    # (I+Q) is fixed: precompute the dense inverse once so every ADMM
+    # iteration is a single MXU matmul instead of pivoted triangular solves
+    IQinv = jnp.linalg.inv(IQ)
 
     u0 = jnp.zeros((N,), dt).at[-1].set(1.0)
     v0 = jnp.zeros((N,), dt).at[-1].set(1.0)
@@ -105,7 +107,7 @@ def solve(
         def one_iter(carry, _):
             u, v = carry
             w = u + v
-            ut = jax.scipy.linalg.lu_solve((lu, piv), w[:, None])[:, 0]
+            ut = IQinv @ w
             ut_relaxed = alpha * ut + (1 - alpha) * u
             u_new = _proj_C(cp, ut_relaxed - v)
             v_new = v - ut_relaxed + u_new

@@ -58,3 +58,51 @@ def test_autotuning_ridge():
 
     hist = autotune(steps=30)
     assert hist[-1][1] <= hist[0][1]  # validation loss non-increasing
+
+
+def test_svm_sensitivity_runs():
+    from sensitivity_analysis import svm_hyperplane_sensitivity
+
+    w, dw = svm_hyperplane_sensitivity()
+    assert np.all(np.isfinite(w)) and np.all(np.isfinite(dw))
+    # separating direction for the +2/-2 clusters points positive
+    assert w[0] > 0 and w[1] > 0
+
+
+def test_economic_dispatch():
+    from sensitivity_analysis import economic_dispatch_prices
+
+    g, price, dg = economic_dispatch_prices(demand=10.0)
+    # cheap gen at its 6-unit limit, expensive serves the rest
+    np.testing.assert_allclose(g, [6.0, 4.0], atol=1e-5)
+    # marginal price = cost of the marginal (expensive) generator
+    np.testing.assert_allclose(price, 3.0, atol=1e-5)
+    # extra demand goes to the marginal generator
+    np.testing.assert_allclose(dg, [0.0, 1.0], atol=1e-4)
+
+
+def test_nearest_correlation_matches_higham():
+    """SDP answer vs Higham's alternating-projection algorithm (numpy
+    oracle, Dykstra-corrected) and PSD/diag feasibility."""
+    from nearest_correlation import nearest_correlation
+
+    A = np.array([[1.0, 0.9, -0.9], [0.9, 1.0, 0.3], [-0.9, 0.3, 1.0]])
+
+    # Higham 2002 alternating projections with Dykstra correction
+    def higham(A, iters=500):
+        Y = A.copy()
+        dS = np.zeros_like(A)
+        for _ in range(iters):
+            R = Y - dS
+            w, U = np.linalg.eigh(R)
+            Xp = (U * np.maximum(w, 0)) @ U.T
+            dS = Xp - R
+            Y = Xp.copy()
+            np.fill_diagonal(Y, 1.0)
+        return Y
+
+    ref = higham(A)
+    X = np.asarray(nearest_correlation(A))
+    np.testing.assert_allclose(np.diag(X), 1.0, atol=1e-5)
+    assert np.linalg.eigvalsh(X).min() > -1e-6
+    np.testing.assert_allclose(X, ref, atol=2e-3)

@@ -131,3 +131,28 @@ def test_schur_sharded_matches_single_device():
     np.testing.assert_allclose(out.xs, ref.xs, atol=1e-8)
     np.testing.assert_allclose(out.z, ref.z, atol=1e-8)
     np.testing.assert_allclose(out.lams, ref.lams, atol=1e-8)
+
+
+def test_schur_reverse_adjoint_identity():
+    """<fwd(dData), seeds> == <dData, rev(seeds)> for the coupled program."""
+    rng = np.random.default_rng(7)
+    ts = _random_two_stage(S=6)
+    _, _, sol_ts = _solve_monolithic(ts)
+    dts = _random_tangent(ts, seed=8)
+    from diffopt_tpu.parallel.schur import two_stage_reverse_sensitivity
+
+    S, n, m, p, c = ts.dims
+    seed_x = jnp.asarray(rng.normal(size=(S, n)))
+    seed_z = jnp.asarray(rng.normal(size=c))
+
+    fwd = two_stage_forward_sensitivity(ts, sol_ts, dts)
+    rev = two_stage_reverse_sensitivity(ts, sol_ts, seed_x, seed_z)
+
+    lhs = float(jnp.sum(fwd.xs * seed_x) + jnp.dot(fwd.z, seed_z))
+    rhs = float(
+        sum(
+            jnp.sum(getattr(dts, f) * getattr(rev, f))
+            for f in ["Qs", "qs", "As", "bs", "Gs", "hs", "Bs", "Q0", "q0"]
+        )
+    )
+    assert abs(lhs - rhs) < 1e-6 * max(1.0, abs(lhs)), (lhs, rhs)
