@@ -41,7 +41,9 @@ def main():
     qp = make_batch(B, n, m, p)
 
     def loss(qp):
-        sol = jax.vmap(lambda q: solve_qp(q, max_iters=25, method="ldl"))(qp)
+        from diffopt_tpu import solve_qp_batched
+
+        sol = solve_qp_batched(qp, max_iters=25)  # fused Pallas PDIP + LDL VJP
         return jnp.sum(sol.z**2)
 
     step = jax.jit(jax.value_and_grad(loss))

@@ -1,0 +1,76 @@
+"""Secondary benchmark: batched conic (SOCP) solves + VJPs per second.
+
+BASELINE config 3. Not the driver's headline metric (see ../bench.py);
+run directly: python benchmarks/conic_bench.py
+"""
+
+import json
+import sys
+import time
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
+    """Random feasible SOCP batch: min c'x s.t. ||Fx - g|| <= e'x + f."""
+    from diffopt_tpu import ConeProgram, ConeSpec
+
+    rng = np.random.default_rng(seed)
+    k = n  # SOC dim n+1
+    F = rng.normal(size=(B, k, n)).astype(np.float32)
+    g = rng.normal(size=(B, k)).astype(np.float32)
+    e = rng.normal(size=(B, n)).astype(np.float32) * 0.1
+    c = rng.normal(size=(B, n)).astype(np.float32)
+    # rows: (e'x + 2, Fx - g) in SOC(k+1): A = -coeffs, b = const
+    A = np.concatenate([-e[:, None, :], -F], axis=1)
+    b = np.concatenate([2 * np.ones((B, 1), np.float32), -g], axis=1)
+    cones = ConeSpec([("soc", k + 1)])
+    return ConeProgram(
+        A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype), c=jnp.asarray(c, dtype),
+        cones=cones,
+    )
+
+
+def main():
+    from diffopt_tpu import solve_conic
+
+    B = 512
+    cp = make_socp_batch(B)
+
+    def loss(cp):
+        sol = jax.vmap(
+            lambda c: solve_conic(c, max_iters=2000, tol=1e-6, method="lstsq")
+        )(cp)
+        return jnp.sum(sol.x**2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    val, g = step(cp)
+    _ = float(val)
+
+    ts = []
+    for i in range(3):
+        cp2 = jax.tree.map(lambda x: x * (1 + np.float32(1e-7) * (i + 1)), cp)
+        t0 = time.perf_counter()
+        val, g = step(cp2)
+        _ = float(val) + float(g.b[0, 0])
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    print(
+        json.dumps(
+            {
+                "metric": "batched_socp_solve_vjp_per_sec_per_chip",
+                "value": round(B / dt, 2),
+                "unit": "instances/s",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

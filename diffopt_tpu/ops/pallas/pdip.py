@@ -1,0 +1,312 @@
+"""Fully-fused batched PDIP QP solver as a single Pallas TPU kernel.
+
+The staged solver (``solvers/qp.py``) round-trips HBM between every step:
+H formation, Cholesky, solves, and state updates are separate XLA/Pallas
+fusions. This kernel keeps a 128-instance tile's entire problem (Q, G, A,
+vectors) and iterate state resident in VMEM for all interior-point
+iterations — the speed-of-light design for BASELINE config 2.
+
+Layout: batch-along-lanes, operands (n, n, LANE) etc. Per-lane early stop is
+free: converged lanes take zero-length steps (no cross-lane sync). Fixed
+iteration count via ``lax.fori_loop``; the per-iteration body is an unrolled
+Mehrotra predictor-corrector with in-VMEM Cholesky + Schur elimination
+(identical math to ``solvers/qp.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...ir import QPSolution, QuadProgram
+
+Array = jax.Array
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --- in-kernel dense helpers on (rows, cols, LANE) values -------------------
+
+
+def _chol_value(Hv, n):
+    """Cholesky of an (n, n, LANE) SPD value; returns lower L as a value.
+    Shrinking-submatrix form: no scatter/.at ops (TPU Pallas lowering has no
+    scatter), only slices and concatenates."""
+    a = Hv
+    cols = []
+    for j in range(n):
+        dj = jax.lax.rsqrt(a[0, 0, :])
+        col = a[:, 0, :] * dj[None, :]  # (n-j, LANE)
+        cols.append(col)
+        if j + 1 < n:
+            sub = col[1:]
+            a = a[1:, 1:, :] - sub[:, None, :] * sub[None, :, :]
+    lane = Hv.shape[-1]
+    parts = []
+    for j in range(n):
+        if j == 0:
+            full = cols[j]
+        else:
+            full = jnp.concatenate(
+                [jnp.zeros((j, lane), Hv.dtype), cols[j]], axis=0
+            )
+        parts.append(full[:, None, :])
+    return jnp.concatenate(parts, axis=1)
+
+
+def _chol_solve_value(L, rhs, n):
+    """Solve L L' x = rhs for rhs (n, k, LANE) values.
+
+    Indexing discipline for Mosaic: only (int|slice, int|slice, slice)
+    patterns on 3D values — int-int chains like ``L[j, i, None, :]`` lower to
+    unsupported >2D gathers. Inner contractions are vectorized over the
+    already-computed rows via stack + sum."""
+    ys = []
+    for j in range(n):
+        acc = rhs[j]  # (k, LANE)
+        if j > 0:
+            Y = jnp.stack(ys, axis=0)  # (j, k, LANE)
+            lrow = L[j, :j, :]  # (j, LANE)
+            acc = acc - jnp.sum(lrow[:, None, :] * Y, axis=0)
+        ys.append(acc / L[j, j, :][None, :])
+    xs = [None] * n
+    for j in range(n - 1, -1, -1):
+        acc = ys[j]
+        if j + 1 < n:
+            X = jnp.stack(xs[j + 1 :], axis=0)  # (n-j-1, k, LANE)
+            lcol = L[j + 1 :, j, :]  # (n-j-1, LANE)
+            acc = acc - jnp.sum(lcol[:, None, :] * X, axis=0)
+        xs[j] = acc / L[j, j, :][None, :]
+    return jnp.stack(xs, axis=0)
+
+
+def _pdip_kernel(
+    dims: Tuple[int, int, int],
+    iters: int,
+    tol: float,
+    reg: float,
+    q_ref, b_ref, h_ref, Q_ref, G_ref, A_ref,
+    z_ref, lam_ref, nu_ref, s_ref,
+):
+    n, m, p = dims
+    dt = q_ref.dtype
+    Q = Q_ref[:]  # (n, n, LANE)
+    G = G_ref[:] if m else None  # (m, n, LANE)
+    A = A_ref[:] if p else None  # (p, n, LANE)
+    q = q_ref[:]
+    b = b_ref[:] if p else None
+    h = h_ref[:] if m else None
+
+    eye_scaled = reg * jnp.eye(n, dtype=dt)[:, :, None]
+
+    def mv(M, v):  # (r, n, LANE) x (n, LANE) -> (r, LANE)
+        return jnp.sum(M * v[None, :, :], axis=1)
+
+    def rmv(M, v):  # M'(r, n, LANE) with v (r, LANE) -> (n, LANE)
+        return jnp.sum(M * v[:, None, :], axis=0)
+
+    def build_H(ls):
+        Hv = Q + eye_scaled
+        if m:
+            for k in range(m):
+                gk = G[k]  # (n, LANE)
+                lsk = ls[k]  # (LANE,) — avoid int+None mixed indexing (gather)
+                Hv = Hv + (gk[:, None, :] * gk[None, :, :]) * lsk[None, None, :]
+        return Hv
+
+    def factor(lam, s):
+        Hv = build_H(lam / s) if m else build_H(None)
+        Lh = _chol_value(Hv, n)
+        if p:
+            At = jnp.swapaxes(A, 0, 1)  # (n, p, LANE)
+            HiAt = _chol_solve_value(Lh, At, n)  # (n, p, LANE)
+            Sv = reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones((1, 1, LANE), dt)
+            rows = []
+            for a_ in range(p):
+                rows.append(jnp.sum(A[a_][:, None, :] * HiAt, axis=0))  # (p, LANE)
+            Sv = Sv + jnp.stack(rows, axis=0)
+            Ls = _chol_value(Sv, p)
+        else:
+            Ls = None
+        return Lh, Ls
+
+    def solve_dir(Lh, Ls, rd, rpe, rpi, rc, lam, s):
+        if m:
+            rhs_z = -rd + rmv(G, (rc - lam * rpi) / s)
+        else:
+            rhs_z = -rd
+        z1 = _chol_solve_value(Lh, rhs_z[:, None, :], n)[:, 0, :]
+        if p:
+            rhs_s = mv(A, z1) + rpe
+            dnu = _chol_solve_value(Ls, rhs_s[:, None, :], p)[:, 0, :]
+            dz = z1 - _chol_solve_value(Lh, rmv(A, dnu)[:, None, :], n)[:, 0, :]
+        else:
+            dnu = jnp.zeros((p, LANE), dt)
+            dz = z1
+        if m:
+            ds = -rpi - mv(G, dz)
+            dlam = -(rc + lam * ds) / s
+        else:
+            ds = jnp.zeros((m, LANE), dt)
+            dlam = jnp.zeros((m, LANE), dt)
+        return dz, dnu, dlam, ds
+
+    def residuals(z, nu, lam, s):
+        rd = mv(Q, z) + q
+        if m:
+            rd = rd + rmv(G, lam)
+        if p:
+            rd = rd + rmv(A, nu)
+        rpe = mv(A, z) - b if p else jnp.zeros((p, LANE), dt)
+        rpi = mv(G, z) + s - h if m else jnp.zeros((m, LANE), dt)
+        return rd, rpe, rpi
+
+    def step_len(v, dv, frac):
+        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+        amax = jnp.min(ratio, axis=0)  # (LANE,)
+        return jnp.minimum(1.0, frac * amax)
+
+    # ---- init (same as solvers/qp.py) -------------------------------------
+    ones_m = jnp.ones((m, LANE), dt)
+    Lh0, Ls0 = factor(ones_m, ones_m) if m else factor(None, None)
+    rd0, rpe0, rpi0 = residuals(
+        jnp.zeros((n, LANE), dt), jnp.zeros((p, LANE), dt), ones_m * 0, ones_m * 0
+    )
+    dz0, dnu0, _, _ = solve_dir(Lh0, Ls0, rd0, rpe0, rpi0, -ones_m, ones_m, ones_m)
+    z = dz0
+    nu = dnu0
+    if m:
+        s0 = h - mv(G, z)
+        shift = jnp.maximum(0.0, -jnp.min(s0, axis=0) * 1.5) + 1.0
+        s = s0 + shift[None, :]
+        lam = ones_m
+    else:
+        s = jnp.zeros((m, LANE), dt)
+        lam = jnp.zeros((m, LANE), dt)
+
+    def body(_, carry):
+        z, nu, lam, s = carry
+        rd, rpe, rpi = residuals(z, nu, lam, s)
+        if m:
+            mu = jnp.sum(s * lam, axis=0) / m  # (LANE,)
+        else:
+            mu = jnp.zeros((LANE,), dt)
+        Lh, Ls = factor(lam, s)
+        dza, dnua, dlama, dsa = solve_dir(Lh, Ls, rd, rpe, rpi, s * lam, lam, s)
+        if m:
+            ap = step_len(s, dsa, 1.0)
+            ad = step_len(lam, dlama, 1.0)
+            mu_aff = jnp.sum(
+                (s + ap[None, :] * dsa) * (lam + ad[None, :] * dlama), axis=0
+            ) / m
+            sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+            rc = s * lam + dsa * dlama - (sigma * mu)[None, :]
+        else:
+            rc = s * lam
+        dz, dnu, dlam, ds = solve_dir(Lh, Ls, rd, rpe, rpi, rc, lam, s)
+        if m:
+            alpha = jnp.minimum(step_len(s, ds, 0.99), step_len(lam, dlam, 0.99))
+        else:
+            alpha = jnp.ones((LANE,), dt)
+        # per-lane freeze: converged or non-finite lanes take zero steps
+        pres = jnp.max(jnp.abs(rpe), axis=0) + jnp.max(jnp.abs(rpi), axis=0)
+        dres = jnp.max(jnp.abs(rd), axis=0)
+        done = (pres < tol) & (dres < tol) & (mu < tol)
+        finite = (
+            jnp.all(jnp.isfinite(dz), axis=0)
+            & jnp.all(jnp.isfinite(dnu), axis=0)
+            & jnp.all(jnp.isfinite(dlam), axis=0)
+            & jnp.all(jnp.isfinite(ds), axis=0)
+        )
+        # per-lane freeze via select, NOT alpha=0: 0 * NaN would poison the
+        # state of a lane whose direction blew up
+        step = (finite & ~done)[None, :]
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
+        upd = lambda x, dx: jnp.where(step, x + alpha * dx, x)
+        return (upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds))
+
+    z, nu, lam, s = jax.lax.fori_loop(0, iters, body, (z, nu, lam, s))
+    z_ref[:] = z
+    lam_ref[:] = lam
+    nu_ref[:] = nu
+    s_ref[:] = s
+
+
+def solve_batched_fused(
+    qp: QuadProgram,
+    *,
+    max_iters: int = 25,
+    tol: float | None = None,
+    reg: float | None = None,
+) -> QPSolution:
+    """Solve a (B, ...) batch of QPs with the fused kernel. B is padded to a
+    LANE multiple; returns AK17-convention primal-dual solutions."""
+    B = qp.q.shape[0]
+    n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
+    dt = qp.Q.dtype
+    if m == 0 or p == 0:
+        # zero-sized blocks don't map to TPU kernel operands; staged path
+        from ...solvers import qp as qpsolver
+
+        sol, _ = qpsolver.solve_batched(qp, max_iters=max_iters, tol=tol, reg=reg)
+        return sol
+    if tol is None:
+        tol = 1e-9 if dt == jnp.float64 else 5e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-7
+
+    to_ll = lambda x: jnp.moveaxis(x, 0, -1)
+    padB = (-B) % LANE
+    padded = jax.tree.map(
+        lambda x: jnp.concatenate([x, jnp.repeat(x[:1], padB, 0)], 0) if padB else x,
+        qp,
+    )
+    Bp = B + padB
+    args = [
+        to_ll(padded.q),
+        to_ll(padded.b),
+        to_ll(padded.h),
+        to_ll(padded.Q),
+        to_ll(padded.G),
+        to_ll(padded.A),
+    ]
+
+    def spec(x):
+        shape = x.shape[:-1] + (LANE,)
+        ndim = x.ndim
+        if ndim == 2:
+            return pl.BlockSpec(shape, lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        partial(_pdip_kernel, (n, m, p), max_iters, tol, reg),
+        grid=(Bp // LANE,),
+        in_specs=[spec(a) for a in args],
+        out_specs=[
+            pl.BlockSpec((n, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((p, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, Bp), dt),
+            jax.ShapeDtypeStruct((m, Bp), dt),
+            jax.ShapeDtypeStruct((p, Bp), dt),
+            jax.ShapeDtypeStruct((m, Bp), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(*args)
+    z, lam, nu, _ = out
+    back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
+    return QPSolution(z=back(z), lam=back(lam), nu=back(nu))

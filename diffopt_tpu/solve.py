@@ -177,3 +177,50 @@ def solve_conic(
     elif mode == "jvp":
         return _make_solve_conic_jvp(*key)(cp)
     raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# Batched entry with the fused Pallas PDIP solver
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _make_solve_qp_batched_vjp(max_iters, method, refine_iters):
+    from .ops.pallas.pdip import solve_batched_fused
+
+    @jax.custom_vjp
+    def _solve(qp: QuadProgram) -> QPSolution:
+        return solve_batched_fused(qp, max_iters=max_iters)
+
+    def _fwd(qp):
+        sol = _solve(qp)
+        return sol, (qp, sol)
+
+    def _bwd(res, cot: QPSolution):
+        qp, sol = res
+        grads, _ = jax.vmap(
+            lambda q, s, cz, cl, cn: kkt.qp_reverse(
+                q, s, cz, cl, cn, method=method, refine_iters=refine_iters
+            )
+        )(qp, sol, cot.z, cot.lam, cot.nu)
+        return (
+            QuadProgram(
+                Q=grads.dQ, q=grads.dq, A=grads.dA, b=grads.db, G=grads.dG, h=grads.dh
+            ),
+        )
+
+    _solve.defvjp(_fwd, _bwd)
+    return _solve
+
+
+def solve_qp_batched(
+    qp: QuadProgram,
+    *,
+    max_iters: int = 25,
+    method: str = "ldl",
+    refine_iters: int = 2,
+) -> QPSolution:
+    """Solve a leading-dim batch of QPs with the fused single-kernel PDIP
+    (``ops/pallas/pdip.py``) and differentiate through the Pallas LDL' KKT
+    path. The highest-throughput entry point (BASELINE config 2)."""
+    return _make_solve_qp_batched_vjp(max_iters, method, refine_iters)(qp)

@@ -257,3 +257,36 @@ def test_nonlinear_constraint_fd():
         vm = solve_analytic(p1 - dp1, p2 - dp2)
         fd = (vp[:2] - vm[:2]) / (2 * eps)
         np.testing.assert_allclose(jac.dx[:, j], fd, atol=1e-5, rtol=1e-5)
+
+
+def test_nlp_vmap_and_jit():
+    """The sensitivity rules are jit/vmap transformable: batch over parameter
+    vectors of the sIpopt example with per-instance solutions."""
+    nlp = NLPProblem(
+        objective=lambda x, p: jnp.sum(x**2),
+        constraints=lambda x, p: jnp.array(
+            [
+                6 * x[0] + 3 * x[1] + 2 * x[2] - p[0],
+                p[1] * x[0] + x[1] - x[2] - 1.0,
+            ]
+        ),
+        kinds=("eq", "eq"),
+        n=3,
+        lb=[0.0, 0.0, 0.0],
+    )
+    from diffopt_tpu.solvers import nlp as nlpsolver
+
+    p_batch = jnp.array([[4.5, 1.0], [4.8, 1.0], [4.2, 1.0]])
+
+    def solve_and_sens(p):
+        sol, _ = nlpsolver.solve(nlp, p, x0=jnp.array([1.0, 1.0, 1.0]))
+        return solution_jacobian(nlp, sol, p).dx
+
+    jacs = jax.jit(jax.vmap(solve_and_sens))(p_batch)
+    # active set is the same across this batch: x3=0, both eqs active;
+    # analytic: x1 = (p1-3)/3 and dx/dp = [[1/3, x1], [-1/3, -2 x1], [0, 0]]
+    for i in range(3):
+        x1 = (float(p_batch[i, 0]) - 3.0) / 3.0
+        np.testing.assert_allclose(
+            jacs[i], [[1 / 3, x1], [-1 / 3, -2 * x1], [0.0, 0.0]], atol=1e-4
+        )
