@@ -292,12 +292,18 @@ def _extract(nlp: NLPProblem, layout: dict, ds: Array, singular: Array) -> NLPFo
 
 
 def forward_differentiate(
-    nlp: NLPProblem, sol: NLPSolution, p: Array, dp: Array
+    nlp: NLPProblem, sol: NLPSolution, p: Array, dp: Array, factorization=None
 ) -> NLPForward:
     """Directional sensitivity ``ds = -M^{-1} N dp`` with sign fixups
-    (reference ``forward_differentiate!``, ``NonLinearProgram.jl:502-528``)."""
+    (reference ``forward_differentiate!``, ``NonLinearProgram.jl:502-528``).
+
+    ``factorization(M, layout) -> (lu, piv, singular)`` overrides the default
+    LU-with-inertia-correction (the reference's pluggable
+    ``NonLinearKKTJacobianFactorization`` attribute, ``src/diff_opt.jl:96-120``).
+    """
     M, N, layout = build_sensitivity_system(nlp, sol, p)
-    lu, piv, sing = factorize_with_inertia(M, layout)
+    fact = factorization or factorize_with_inertia
+    lu, piv, sing = fact(M, layout)
     rhs = N @ dp
     ds = -jax.scipy.linalg.lu_solve((lu, piv), rhs[:, None])[:, 0]
     ds = _sign_fix(layout, nlp.sense_mult, ds)
@@ -305,11 +311,14 @@ def forward_differentiate(
     return _extract(nlp, layout, ds, sing)
 
 
-def solution_jacobian(nlp: NLPProblem, sol: NLPSolution, p: Array) -> NLPForward:
+def solution_jacobian(
+    nlp: NLPProblem, sol: NLPSolution, p: Array, factorization=None
+) -> NLPForward:
     """Full Jacobian ``ds/dp`` (every output gains a trailing num_p dim) —
     the reference's materialized ``Delta s`` (``nlp_utilities.jl:457-500``)."""
     M, N, layout = build_sensitivity_system(nlp, sol, p)
-    lu, piv, sing = factorize_with_inertia(M, layout)
+    fact = factorization or factorize_with_inertia
+    lu, piv, sing = fact(M, layout)
     ds = -jax.scipy.linalg.lu_solve((lu, piv), N)
     ds = _sign_fix(layout, nlp.sense_mult, ds)
     ds = jnp.where(sing, jnp.zeros_like(ds), ds)
@@ -324,12 +333,14 @@ def reverse_differentiate(
     dy: Optional[Array] = None,
     dzL: Optional[Array] = None,
     dzU: Optional[Array] = None,
+    factorization=None,
 ) -> Array:
     """Parameter cotangent ``dp = (ds/dp)' seed`` (reference
     ``reverse_differentiate!``, ``NonLinearProgram.jl:530-582``), computed
     directionally via one transposed solve."""
     M, N, layout = build_sensitivity_system(nlp, sol, p)
-    lu, piv, sing = factorize_with_inertia(M, layout)
+    fact = factorization or factorize_with_inertia
+    lu, piv, sing = fact(M, layout)
     n, nc = layout["n"], layout["nc"]
     len_w, num_low = layout["len_w"], layout["num_low"]
     nl_x, nu_x = layout["nl_x"], layout["nu_x"]

@@ -93,14 +93,18 @@ def refine(M: Array, rhs: Array, x: Array, solve_fn, iters: int = 2) -> Array:
 def solve(
     M: Array,
     rhs: Array,
-    method: str = "lu",
+    method="lu",
     *,
     refine_iters: int = 0,
     ridge: float = 0.0,
 ) -> Array:
     """Front door used by the diff rules (reference ``solve_system``,
-    ``QuadraticProgram.jl:486-492``)."""
-    if method == "lu":
+    ``QuadraticProgram.jl:486-492``). ``method`` may also be a callable
+    ``(M, rhs) -> x`` — the reference's pluggable ``LinearAlgebraSolver``
+    optimizer attribute (``QuadraticProgram.jl:475-502``)."""
+    if callable(method):
+        fn = method
+    elif method == "lu":
         fn = lu_solve_dense
     elif method == "qr":
         fn = qr_solve_dense

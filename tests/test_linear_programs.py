@@ -1,0 +1,167 @@
+"""LP sensitivity cases ported from the reference's ``test/linear_program.jl``
+(7 LPs with bounds/fixes/mixed orientations; ATOL/RTOL = 1e-2 there —
+``linear_program.jl:15-16`` — we hold 1e-5) plus both-backend consistency:
+each case is differentiated through the QP KKT path AND the conic
+homogeneous-embedding path (the reference runs every harness case under both
+backends, ``test/utils.jl:369-377``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffopt_tpu import (
+    ConeTangent,
+    QPTangent,
+    QuadProgram,
+    bridges,
+    conic_diff,
+    forward_differentiate,
+)
+from diffopt_tpu.solvers import conic as conicsolver
+from diffopt_tpu.solvers import qp as qpsolver
+
+
+def _both_backend_forward(qp, dqp, atol=1e-5):
+    """Forward sensitivities through the QP path and through the conic
+    lowering must agree."""
+    sol, info = qpsolver.solve(qp)
+    assert bool(info.converged)
+    fwd_qp = forward_differentiate(qp, sol, dqp, method="lstsq")
+
+    cp = bridges.qp_to_cone(qp)
+    csol, cinfo = conicsolver.solve(cp, max_iters=60000, tol=1e-11)
+    assert bool(cinfo.converged)
+    # tangent mapping: rows [A; G], b rows [b; h]; our conic tangents are in
+    # the same orientation as the lowered data
+    dA = jnp.concatenate([dqp.dA, dqp.dG], axis=0)
+    db = jnp.concatenate([dqp.db, dqp.dh], axis=0)
+    fwd_cp = conic_diff.forward_differentiate(
+        cp, csol, ConeTangent(dA=dA, db=db, dc=dqp.dq)
+    )
+    np.testing.assert_allclose(fwd_cp.dx, fwd_qp.dz, atol=atol)
+    return fwd_qp
+
+
+def test_lp_rhs_sensitivity_both_backends():
+    # min -x - y s.t. x + 2y <= 4, 3x + y <= 6  (both active)
+    qp = QuadProgram.make(
+        q=[-1.0, -1.0], G=[[1.0, 2.0], [3.0, 1.0]], h=[4.0, 6.0]
+    )
+    dqp = QPTangent.zeros_like(qp)
+    dqp = QPTangent(
+        dQ=dqp.dQ, dq=dqp.dq, dA=dqp.dA, db=dqp.db, dG=dqp.dG,
+        dh=jnp.array([1.0, 0.0]),
+    )
+    fwd = _both_backend_forward(qp, dqp)
+    # active-set solve: [1 2;3 1] dz = dh -> dz = [−0.2… solve
+    dz_expected = np.linalg.solve([[1.0, 2.0], [3.0, 1.0]], [1.0, 0.0])
+    np.testing.assert_allclose(fwd.dz, dz_expected, atol=1e-5)
+
+
+def test_lp_coefficient_sensitivity_both_backends():
+    # perturb a binding constraint coefficient
+    qp = QuadProgram.make(
+        q=[-2.0, -1.0], G=[[1.0, 1.0], [1.0, 0.0]], h=[2.0, 1.5]
+    )
+    dqp = QPTangent.zeros_like(qp)
+    dG = jnp.zeros((2, 2)).at[0, 0].set(1.0)
+    dqp = QPTangent(
+        dQ=dqp.dQ, dq=dqp.dq, dA=dqp.dA, db=dqp.db, dG=dG, dh=dqp.dh
+    )
+    fwd = _both_backend_forward(qp, dqp)
+    # at z=(1.5, 0.5), active rows [x+y<=2, x<=1.5]: d(active system):
+    # [1 1;1 0] dz = -dG z = -(z1, 0) -> dz = (-z1... solve:
+    z = np.array([1.5, 0.5])
+    dz_expected = np.linalg.solve([[1.0, 1.0], [1.0, 0.0]], [-z[0], 0.0])
+    np.testing.assert_allclose(fwd.dz, dz_expected, atol=1e-5)
+
+
+def test_lp_with_equalities_and_bounds():
+    # min c'z s.t. z1 + z2 = 1 (eq), bounds 0 <= z <= 0.8 as rows
+    Gb, hb = bridges.bounds_to_rows(np.zeros(2), np.full(2, 0.8))
+    qp = QuadProgram.make(
+        q=[1.0, 2.0], A=[[1.0, 1.0]], b=[1.0], G=Gb, h=hb
+    )
+    sol, info = qpsolver.solve(qp)
+    assert bool(info.converged)
+    np.testing.assert_allclose(sol.z, [0.8, 0.2], atol=1e-6)
+    # d(b): both z pinned by eq + upper bound on z1: dz = (0, db)
+    dqp = QPTangent.zeros_like(qp)
+    dqp = QPTangent(
+        dQ=dqp.dQ, dq=dqp.dq, dA=dqp.dA, db=jnp.array([1.0]), dG=dqp.dG, dh=dqp.dh
+    )
+    fwd = forward_differentiate(qp, sol, dqp, method="lstsq")
+    np.testing.assert_allclose(fwd.dz, [0.0, 1.0], atol=1e-5)
+
+
+def test_lp_inactive_rows_zero_gradient_reverse():
+    """Inactive constraints must carry exactly zero reverse gradient
+    (``linear_program.jl:31-49``)."""
+    qp = QuadProgram.make(
+        q=[1.0, 1.0],
+        G=[[-1.0, 0.0], [0.0, -1.0], [1.0, 1.0]],  # last row inactive
+        h=[0.0, 0.0, 10.0],
+    )
+    from diffopt_tpu import reverse_differentiate
+
+    sol, info = qpsolver.solve(qp)
+    rev = reverse_differentiate(qp, sol, dz=jnp.ones(2), method="lstsq")
+    np.testing.assert_allclose(rev.dG[2], 0.0, atol=1e-6)
+    np.testing.assert_allclose(rev.dh[2], 0.0, atol=1e-6)
+
+
+def test_custom_linear_solver_hook():
+    """Pluggable linear solver (reference LinearAlgebraSolver attribute,
+    QuadraticProgram.jl:475-502; TestSolver stub test moi_wrapper.jl:74-98)."""
+    calls = []
+
+    def my_solver(M, rhs):
+        calls.append(1)
+        return jnp.linalg.solve(M, rhs[..., None])[..., 0]
+
+    rng = np.random.default_rng(0)
+    n = 4
+    L = rng.normal(size=(n, n))
+    qp = QuadProgram.make(
+        Q=L @ L.T + n * np.eye(n), q=rng.normal(size=n),
+        G=rng.normal(size=(2, n)), h=rng.normal(size=2) + 1.0,
+    )
+    sol, _ = qpsolver.solve(qp)
+    from diffopt_tpu import reverse_differentiate
+
+    rev = reverse_differentiate(qp, sol, dz=jnp.ones(n), method=my_solver)
+    ref = reverse_differentiate(qp, sol, dz=jnp.ones(n), method="lu")
+    assert calls, "custom solver was not invoked"
+    np.testing.assert_allclose(rev.dq, ref.dq, atol=1e-10)
+
+
+def test_custom_nlp_factorization_hook():
+    """Pluggable NLP factorization (NonLinearKKTJacobianFactorization,
+    src/diff_opt.jl:96-120; test nlp_program.jl:797-857)."""
+    from diffopt_tpu.nlp_diff import (
+        NLPProblem,
+        NLPSolution,
+        forward_differentiate as nlp_fwd,
+    )
+
+    calls = []
+
+    def my_fact(M, layout):
+        calls.append(1)
+        lu, piv = jax.scipy.linalg.lu_factor(M)
+        return lu, piv, jnp.asarray(False)
+
+    nlp = NLPProblem(
+        objective=lambda x, p: x[0] ** 2,
+        constraints=lambda x, p: jnp.array([x[0] - p[0]]),
+        kinds=("geq",),
+        n=1,
+    )
+    p = jnp.array([2.0])
+    sol = NLPSolution(
+        x=jnp.array([2.0]), y=jnp.array([4.0]), zL=jnp.zeros(1), zU=jnp.zeros(1)
+    )
+    fwd = nlp_fwd(nlp, sol, p, jnp.array([1.0]), factorization=my_fact)
+    assert calls
+    np.testing.assert_allclose(fwd.dx, [1.0], atol=1e-8)
