@@ -434,3 +434,16 @@ def dpi_dense(cones: ConeSpec, v: Array) -> Array:
 def contains_dual(cones: ConeSpec, v: Array, tol: float = 1e-8) -> Array:
     """Boolean check that v lies (approximately) in the product of dual cones."""
     return jnp.linalg.norm(pi(cones, v) - v, axis=-1) <= tol
+
+
+def moi_tri_seed_to_svec(v: Array) -> Array:
+    """Convert a *perturbation seed* expressed on MOI unscaled-triangle rows
+    into svec coordinates under MOI's symmetric-half convention: a triangle
+    value on an off-diagonal row denotes a symmetric matrix perturbation with
+    HALF that value in each of the two mirrored entries (cf. the reference's
+    ``quad_sym_half`` halving, ``jump_moi_overloads.jl:162-209``; its PSD
+    tests' -0.5 sensitivity only reproduces under this convention). Net
+    off-diagonal factor: (1/2) * sqrt(2) = 1/sqrt(2)."""
+    d = _tri_side(v.shape[-1])
+    scale = _svec_scale(d, v.dtype)
+    return v * jnp.where(scale > 1.0, 0.5 * scale, scale)
