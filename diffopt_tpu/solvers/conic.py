@@ -63,6 +63,45 @@ def _proj_C(cp: ConeProgram, u: Array) -> Array:
     return jnp.concatenate([ux, uy, ut])
 
 
+
+def _ruiz_scales(cp: ConeProgram, iters: int = 10):
+    """Ruiz equilibration scales (D rows, E cols) for A, block-uniform on
+    non-polyhedral cone rows so s in K is preserved (SCS-style scaling)."""
+    A = jnp.abs(cp.A)
+    m, n = A.shape
+    dt = A.dtype
+    # per-row group id: polyhedral rows scale independently; soc/psd/exp rows
+    # share their block's scale
+    import numpy as np
+
+    gid = np.zeros(m, int)
+    g = 0
+    for kind, off, dim in cp.cones.offsets():
+        if kind in ("zero", "nonneg", "nonpos"):
+            for r in range(off, off + dim):
+                gid[r] = g
+                g += 1
+        else:
+            for r in range(off, off + dim):
+                gid[r] = g
+            g += 1
+    gid = jnp.asarray(gid)
+    ngroups = g
+
+    D = jnp.ones((m,), dt)
+    E = jnp.ones((n,), dt)
+    for _ in range(iters):
+        As = D[:, None] * A * E[None, :]
+        rnorm = jnp.max(As, axis=1)
+        # group max then broadcast back
+        gmax = jnp.zeros((ngroups,), dt).at[gid].max(rnorm)
+        rnorm = gmax[gid]
+        D = D / jnp.sqrt(jnp.maximum(rnorm, 1e-8))
+        cnorm = jnp.max(D[:, None] * A * E[None, :], axis=0)
+        E = E / jnp.sqrt(jnp.maximum(cnorm, 1e-8))
+    return D, E
+
+
 class _State(NamedTuple):
     u: Array
     v: Array
@@ -77,8 +116,51 @@ def solve(
     tol: float = 1e-10,
     alpha: float = 1.5,
     check_every: int = 25,
+    equilibrate: bool = False,
 ) -> Tuple[ConeSolution, ConicSolveInfo]:
-    """Solve one conic instance (vmap over batches)."""
+    """Solve one conic instance (vmap over batches). ``equilibrate`` applies
+    SCS-style Ruiz scaling (block-uniform on non-polyhedral rows) before the
+    splitting and unscales the returned solution — residuals are re-checked
+    on the ORIGINAL data. Off by default: without SCS's sigma/rho step-size
+    tuning it often slows DR convergence (measured); useful escape hatch for
+    pathologically scaled data."""
+    if equilibrate:
+        D, E = _ruiz_scales(cp)
+        cp_s = ConeProgram(
+            A=D[:, None] * cp.A * E[None, :],
+            b=D * cp.b,
+            c=E * cp.c,
+            cones=cp.cones,
+        )
+        sol_s, info = solve(
+            cp_s,
+            max_iters=max_iters,
+            tol=tol,
+            alpha=alpha,
+            check_every=check_every,
+            equilibrate=False,
+        )
+        sol = ConeSolution(x=E * sol_s.x, y=D * sol_s.y, s=sol_s.s / D)
+        # recompute convergence on original data
+        pres = jnp.linalg.norm(cp.A @ sol.x + sol.s - cp.b) / (
+            1.0 + jnp.linalg.norm(cp.b)
+        )
+        dres = jnp.linalg.norm(cp.A.T @ sol.y + cp.c) / (
+            1.0 + jnp.linalg.norm(cp.c)
+        )
+        pobj = jnp.dot(cp.c, sol.x)
+        dobj = -jnp.dot(cp.b, sol.y)
+        gap = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        conv = jnp.logical_and(
+            pres < 100 * tol, jnp.logical_and(dres < 100 * tol, gap < 100 * tol)
+        )
+        return sol, ConicSolveInfo(
+            iterations=info.iterations,
+            primal_residual=pres,
+            dual_residual=dres,
+            gap=gap,
+            converged=conv,
+        )
     n, m = cp.num_vars, cp.num_rows
     N = n + m + 1
     dt = cp.A.dtype
