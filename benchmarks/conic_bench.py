@@ -45,7 +45,7 @@ def main():
 
     def loss(cp):
         sol = jax.vmap(
-            lambda c: solve_conic(c, max_iters=2000, tol=1e-6, method="lstsq")
+            lambda c: solve_conic(c, max_iters=2000, tol=1e-6, method="gram")
         )(cp)
         return jnp.sum(sol.x**2)
 
