@@ -252,8 +252,10 @@ def solve_batched_fused(
     B = qp.q.shape[0]
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
     dt = qp.Q.dtype
-    if m == 0 or p == 0:
-        # zero-sized blocks don't map to TPU kernel operands; staged path
+    if m == 0 or p == 0 or n > 80:
+        # zero-sized blocks don't map to TPU kernel operands, and the
+        # in-kernel working set (~4 n^2 LANE words) exceeds VMEM past n~80
+        # (n=96 fails the remote compile) — take the staged path
         from ...solvers import qp as qpsolver
 
         sol, _ = qpsolver.solve_batched(qp, max_iters=max_iters, tol=tol, reg=reg)
