@@ -106,3 +106,37 @@ def test_nearest_correlation_matches_higham():
     np.testing.assert_allclose(np.diag(X), 1.0, atol=1e-5)
     assert np.linalg.eigvalsh(X).min() > -1e-6
     np.testing.assert_allclose(X, ref, atol=2e-3)
+
+
+def test_matrix_inversion_manual():
+    from sensitivity_analysis import matrix_inversion_manual_check
+
+    z, manual, framework = matrix_inversion_manual_check()
+    np.testing.assert_allclose(z, [-0.25, -0.75], atol=1e-6)
+    np.testing.assert_allclose(framework, manual, atol=1e-7)
+
+
+def test_ridge_data_sensitivity():
+    from sensitivity_analysis import ridge_data_sensitivity
+
+    w, b, dw, X = ridge_data_sensitivity()
+    assert abs(w - 2.0) < 0.3 and abs(b - 0.5) < 0.3
+    # points far from the x-mean have the largest leverage on the slope, with
+    # the sign of (x_i - xbar)
+    corr = np.corrcoef(dw, X - X.mean())[0, 1]
+    assert corr > 0.99
+
+
+def test_unit_commitment_prices():
+    import jax
+    import jax.numpy as jnp
+    from unit_commitment import make_uc_layer
+
+    build, cost = make_uc_layer()
+    demand = jnp.array([4.0, 7.0, 9.0, 5.0])
+    prices = np.asarray(jax.grad(cost)(demand))
+    assert np.all(np.isfinite(prices))
+    # marginal prices are nonnegative and at least the cheap unit's cost
+    assert np.all(prices > 0.5)
+    # the peak period has the highest price
+    assert prices.argmax() == 2
