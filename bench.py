@@ -36,7 +36,7 @@ def make_batch(B, n, m, p, dtype=jnp.float32, seed=0):
 def main():
     from diffopt_tpu import solve_qp
 
-    B, n, m, p = 4096, 64, 32, 16
+    B, n, m, p = 8192, 64, 32, 16
 
     qp = make_batch(B, n, m, p)
 
