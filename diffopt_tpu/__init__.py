@@ -34,7 +34,7 @@ from .qp_diff import forward_differentiate, reverse_differentiate
 from .solve import solve_conic, solve_qp, solve_qp_batched
 from .nlp_diff import NLPProblem, NLPSolution
 from .parameters import ParametricProgram
-from .api import QPDiffContext, NotSolvedError
+from .api import ConicDiffContext, NotSolvedError, QPDiffContext
 
 __version__ = "0.1.0"
 
@@ -55,6 +55,7 @@ __all__ = [
     "NLPSolution",
     "ParametricProgram",
     "QPDiffContext",
+    "ConicDiffContext",
     "NotSolvedError",
     "native",
     "utils",

@@ -128,3 +128,109 @@ class QPDiffContext:
             return kkt.qp_reverse_accumulate(self.qp, self.sol, split)
 
         return self._timed(run)
+
+
+class ConicDiffContext:
+    """Conic analogue of :class:`QPDiffContext`: solve once, cache the
+    residual-map gram factorization, differentiate repeatedly (the
+    reference's conic ``gradient_cache``, ``ConicProgram.jl:172-175``)."""
+
+    def __init__(
+        self,
+        cp,
+        sol=None,
+        *,
+        check: bool = True,
+        solver_kwargs: Optional[dict] = None,
+    ):
+        from .conic_diff import residual_matrix
+        from .solvers import conic as conicsolver
+
+        self.cp = cp
+        t0 = time.perf_counter()
+        if sol is None:
+            sol, info = conicsolver.solve(cp, **(solver_kwargs or {}))
+            self.solve_info = info
+            if check and not bool(jnp.all(info.converged)):
+                raise NotSolvedError(
+                    "cannot differentiate: conic solver did not converge "
+                    f"(primal {float(jnp.max(info.primal_residual)):.2e})"
+                )
+        else:
+            self.solve_info = None
+        self.sol = sol
+        M = residual_matrix(cp, sol)
+        dt = M.dtype
+        N = M.shape[-1]
+        delta = 1e-12 if dt == jnp.float64 else 1e-6
+        self._M = M
+        G = jnp.swapaxes(M, -1, -2) @ M + delta * jnp.eye(N, dtype=dt)
+        self._lu = jax.scipy.linalg.lu_factor(G)
+        self.differentiate_time_sec = float("nan")
+        self._factor_time_sec = time.perf_counter() - t0
+
+    def _gram_solve(self, rhs, transpose):
+        # The cached factor is of G = M'M, which serves the forward solve
+        # (normal equations + refinement). The transposed/adjoint system
+        # would need M M' — not cached — so reverse mode takes the generic
+        # least-squares path.
+        if transpose:
+            from .ops import linalg
+
+            return linalg.solve(jnp.swapaxes(self._M, -1, -2), rhs, "lstsq")
+        M = self._M
+
+        def gsolve(r):
+            return jax.scipy.linalg.lu_solve(
+                self._lu,
+                jnp.einsum("...ij,...i->...j", M, r)[..., None],
+            )[..., 0]
+
+        x = gsolve(rhs)
+        for _ in range(2):
+            x = x + gsolve(rhs - jnp.einsum("...ij,...j->...i", M, x))
+        return x
+
+    def forward(self, dcp):
+        from . import conic_diff as cd
+        from .cones import pi as _pi
+        from . import cones as _cones
+
+        def run():
+            cp, sol = self.cp, self.sol
+            n, m = cp.num_vars, cp.num_rows
+            v = sol.y - sol.s
+            vp = _pi(cp.cones, v)
+            rhs = jnp.concatenate(
+                [
+                    jnp.einsum("...ij,...i->...j", dcp.dA, vp) + dcp.dc,
+                    -jnp.einsum("...ij,...j->...i", dcp.dA, sol.x) + dcp.db,
+                    (
+                        -jnp.sum(dcp.dc * sol.x, axis=-1)
+                        - jnp.sum(dcp.db * vp, axis=-1)
+                    )[..., None],
+                ],
+                axis=-1,
+            )
+            dz = self._gram_solve(rhs, transpose=False)
+            du, dv, dw = dz[..., :n], dz[..., n : n + m], dz[..., n + m]
+            dpidv = _cones.dpi_apply(cp.cones, v, dv)
+            return cd.ConeForward(
+                dx=-(du - sol.x * dw[..., None]),
+                dy=-(dpidv - sol.y * dw[..., None]),
+                ds=-(dpidv - dv - sol.s * dw[..., None]),
+            )
+
+        return self._timed(run)
+
+    def reverse(self, dx, dy=None, ds=None):
+        from . import conic_diff as cd
+
+        def run():
+            return cd.reverse_differentiate(
+                self.cp, self.sol, dx, dy, ds, method="lstsq"
+            )
+
+        return self._timed(run)
+
+    _timed = QPDiffContext._timed

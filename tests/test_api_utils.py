@@ -92,3 +92,32 @@ def test_bucketing():
     for (n, m, p), idxs in buckets.items():
         for i in idxs:
             assert qps[i].num_vars <= n and qps[i].num_ineq <= m
+
+
+def test_conic_context_matches_verbs():
+    from diffopt_tpu import ConeProgram, ConeSpec, ConeTangent, conic_diff
+    from diffopt_tpu.api import ConicDiffContext
+
+    rng = np.random.default_rng(11)
+    n, m = 3, 5
+    cones = ConeSpec([("nonneg", m)])
+    A = rng.normal(size=(m, n))
+    xstar = rng.normal(size=n)
+    sstar = np.array([0.0, 0.0, 0.0, 1.0, 2.0])
+    ystar = np.array([1.0, 2.0, 1.5, 0.0, 0.0])
+    cp = ConeProgram(
+        A=jnp.asarray(A), b=jnp.asarray(A @ xstar + sstar),
+        c=jnp.asarray(-A.T @ ystar), cones=cones,
+    )
+    ctx = ConicDiffContext(cp, solver_kwargs=dict(max_iters=60000, tol=1e-11))
+    dcp = ConeTangent(
+        dA=jnp.asarray(rng.normal(size=(m, n))),
+        db=jnp.asarray(rng.normal(size=m)),
+        dc=jnp.asarray(rng.normal(size=n)),
+    )
+    fwd = ctx.forward(dcp)
+    ref = conic_diff.forward_differentiate(cp, ctx.sol, dcp, method="lstsq")
+    np.testing.assert_allclose(fwd.dx, ref.dx, atol=1e-8)
+    rev = ctx.reverse(jnp.ones(n))
+    ref_r = conic_diff.reverse_differentiate(cp, ctx.sol, jnp.ones(n), method="lstsq")
+    np.testing.assert_allclose(rev.db, ref_r.db, atol=1e-10)
