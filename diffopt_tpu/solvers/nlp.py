@@ -52,6 +52,7 @@ class _State(NamedTuple):
     zl: Array
     zu: Array
     mu: Array
+    lm: Array  # adaptive Levenberg regularization (nonconvexity guard)
     it: Array
     done: Array
 
@@ -149,6 +150,7 @@ def solve(
         zl=jnp.ones((len_w,), dt) * mask_l,
         zu=jnp.ones((len_w,), dt) * mask_u,
         mu=jnp.asarray(1e-1, dt),
+        lm=jnp.asarray(reg, dt),
         it=jnp.asarray(0, jnp.int32),
         done=jnp.asarray(False),
     )
@@ -170,7 +172,7 @@ def solve(
         # [Wt J'; J -delta][dw; dy] = [-r_stat - (mu - sl*zl terms)...; -r_feas]
         dl = (st.zl / sl) * mask_l
         du_ = (st.zu / su) * mask_u
-        Wt = W + jnp.diag(dl + du_ + reg)
+        Wt = W + jnp.diag(dl + du_ + st.lm)
         rhs_w = -(
             r_stat
             - (st.mu / sl - st.zl) * mask_l  # from eliminating dzl
@@ -194,6 +196,35 @@ def solve(
         )
         a_d = jnp.minimum(step_len(st.zl, dzl, mask_l), step_len(st.zu, dzu, mask_u))
 
+        # backtracking on the KKT error (simple merit): halve the primal step
+        # up to 3 times if the error does not decrease — guards nonconvex
+        # steps that the pure fraction-to-boundary rule lets through
+        err0 = kkt_error(st, st.mu)
+
+        def cand_err(ap, ad):
+            stc = st._replace(
+                w=st.w + ap * dw,
+                yhat=st.yhat + ad * dy,
+                zl=(st.zl + ad * dzl) * mask_l,
+                zu=(st.zu + ad * dzu) * mask_u,
+            )
+            return kkt_error(stc, st.mu)
+
+        for _ in range(3):
+            worse = cand_err(a_p, a_d) > err0 * 1.5
+            a_p = jnp.where(worse, a_p * 0.5, a_p)
+            a_d = jnp.where(worse, a_d * 0.5, a_d)
+        # Levenberg update: grow when even the backtracked step is bad
+        # (bends the direction toward steepest descent), decay otherwise
+        still_bad = cand_err(a_p, a_d) > err0 * 1.5
+        lm_n = jnp.where(
+            still_bad,
+            jnp.minimum(st.lm * 10.0, 1e6),
+            jnp.maximum(st.lm / 3.0, reg),
+        ).astype(dt)
+        a_p = jnp.where(still_bad, 0.0, a_p)
+        a_d = jnp.where(still_bad, 0.0, a_d)
+
         w_n = st.w + a_p * dw
         y_n = st.yhat + a_d * dy
         zl_n = (st.zl + a_d * dzl) * mask_l
@@ -216,7 +247,7 @@ def solve(
         ) / n_active
         mu_n = jnp.maximum(0.1 * compl, tol / 10.0).astype(dt)
 
-        st_n = _State(w_n, y_n, zl_n, zu_n, mu_n, st.it + 1, st.done)
+        st_n = _State(w_n, y_n, zl_n, zu_n, mu_n, lm_n, st.it + 1, st.done)
         err = kkt_error(st_n, jnp.asarray(0.0, dt))
         done = jnp.logical_or(err < tol, jnp.logical_not(finite))
         return st_n._replace(done=done)

@@ -146,3 +146,61 @@ def test_max_sense_leq():
     np.testing.assert_allclose(sol.x, [1.5], atol=1e-6)
     # max convention: leq dual >= 0, active con1 dual = 1
     np.testing.assert_allclose(sol.y, [1.0, 0.0], atol=1e-5)
+
+
+def test_nonconvex_from_bad_start():
+    """Nonconvex Rosenbrock-style NLP (reference nlp_problems.jl:10-26 with
+    p3=100) solved from the reference's deliberately bad start (-1, -2)."""
+    nlp = NLPProblem(
+        objective=lambda x, p: (1 - x[0]) ** 2 + p[2] * (x[1] - x[0] ** 2) ** 2,
+        constraints=lambda x, p: jnp.array(
+            [x[0] ** 2 - p[0], p[0] * (x[0] + x[1]) ** 2 - p[1]]
+        ),
+        kinds=("leq", "leq"),
+        n=2,
+    )
+    p = jnp.array([1.0, 2.0, 100.0])
+    sol, info = nlpsolver.solve(nlp, p, x0=jnp.array([-1.0, -2.0]), max_iters=200)
+    assert bool(info.converged), info
+    # compare against SLSQP from the same start
+    import scipy.optimize as so
+
+    res = so.minimize(
+        lambda x: (1 - x[0]) ** 2 + 100 * (x[1] - x[0] ** 2) ** 2,
+        [-1.0, -2.0],
+        constraints=[
+            {"type": "ineq", "fun": lambda x: 1 - x[0] ** 2},
+            {"type": "ineq", "fun": lambda x: 2 - (x[0] + x[1]) ** 2},
+        ],
+        method="SLSQP",
+        tol=1e-12,
+    )
+    # both should find a KKT point with similar objective
+    f_ours = float((1 - sol.x[0]) ** 2 + 100 * (sol.x[1] - sol.x[0] ** 2) ** 2)
+    assert f_ours <= res.fun + 1e-4, (f_ours, res.fun, np.asarray(sol.x), res.x)
+
+
+def test_circle_fit_geometric_median():
+    """Smoothed geometric median with an (inactive) radius cap. Smoothing
+    1e-4 keeps the Hessian bounded (~1e2); the 1e-8 variant has ~1e4
+    curvature spikes at data points and stalls any Newton-type method."""
+    rng = np.random.default_rng(4)
+    pts = rng.normal(size=(6, 2))
+
+    def obj(x, p):
+        d2 = jnp.sum((pts - x[None, :]) ** 2, axis=1)
+        return jnp.sum(jnp.sqrt(d2 + 1e-4))
+
+    nlp = NLPProblem(
+        objective=obj,
+        constraints=lambda x, p: jnp.array([jnp.sum(x**2) - p[0]]),
+        kinds=("leq",),
+        n=2,
+    )
+    p = jnp.array([25.0])  # inactive cap
+    sol, info = nlpsolver.solve(nlp, p, x0=jnp.zeros(2))
+    assert bool(info.converged)
+    import scipy.optimize as so
+
+    ref = so.minimize(lambda x: float(obj(jnp.asarray(x), p)), [0.0, 0.0], tol=1e-12)
+    np.testing.assert_allclose(sol.x, ref.x, atol=1e-4)
