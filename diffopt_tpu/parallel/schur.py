@@ -251,3 +251,182 @@ def two_stage_reverse_sensitivity(
     return TwoStageQP(
         Qs=dQs, qs=dqs, As=dAs, bs=dbs, Gs=dGs, hs=dhs, Bs=dBs, Q0=dQ0, q0=dq0
     )
+
+
+class TwoStageSolveInfo(NamedTuple):
+    iterations: Array
+    primal_residual: Array
+    dual_residual: Array
+    duality_gap: Array
+    converged: Array
+
+
+def solve_two_stage(
+    ts: TwoStageQP,
+    *,
+    max_iters: int = 50,
+    tol: float | None = None,
+    reg: float | None = None,
+    axis_name: Optional[str] = None,
+) -> Tuple[TwoStageSolution, TwoStageSolveInfo]:
+    """Interior-point solve of the coupled two-stage QP where every Newton
+    step is a :func:`schur_arrow_solve` — per-scenario Pallas LDL'
+    factorizations, psum-reduced coupling, no monolithic system. Inside
+    ``shard_map`` (``axis_name`` set) scenarios are sharded over the mesh:
+    this is BASELINE config 5's "10^5 QPs over a pod" solver.
+
+    Condensed per-scenario blocks over (x_s, nu_s) (inequalities eliminated
+    through their complementarity rows as in ``solvers/qp.py``), coupling
+    variable z replicated.
+    """
+    S, n, m, p, c = ts.dims
+    dt = ts.Qs.dtype
+    if tol is None:
+        tol = 1e-9 if dt == jnp.float64 else 5e-6
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-7
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    nb = n + p
+
+    def residuals(xs, z, nus, lams, s):
+        rd = (
+            jnp.einsum("sij,sj->si", ts.Qs, xs)
+            + ts.qs
+            + jnp.einsum("smi,sm->si", ts.Gs, lams)
+            + jnp.einsum("spi,sp->si", ts.As, nus)
+        )
+        rz = (
+            jnp.einsum("cd,d->c", ts.Q0, z)
+            + ts.q0
+            + psum(jnp.einsum("spc,sp->c", ts.Bs, nus))
+        )
+        rpe = (
+            jnp.einsum("spi,si->sp", ts.As, xs)
+            + jnp.einsum("spc,c->sp", ts.Bs, z)
+            - ts.bs
+        )
+        rpi = jnp.einsum("smi,si->sm", ts.Gs, xs) + s - ts.hs
+        return rd, rz, rpe, rpi
+
+    def build_blocks(lams, s):
+        ls = lams / s  # (S, m)
+        H = ts.Qs + jnp.einsum("smi,sm,smj->sij", ts.Gs, ls, ts.Gs)
+        K = jnp.zeros((S, nb, nb), dt)
+        K = K.at[:, :n, :n].set(H + reg * jnp.eye(n, dtype=dt))
+        K = K.at[:, :n, n:].set(jnp.swapaxes(ts.As, -1, -2))
+        K = K.at[:, n:, :n].set(ts.As)
+        idp = jnp.arange(p)
+        K = K.at[:, n + idp, n + idp].set(-reg)
+        C = jnp.zeros((S, nb, c), dt)
+        C = C.at[:, n:, :].set(ts.Bs)
+        K0 = ts.Q0 + reg * jnp.eye(c, dtype=dt)
+        return K, C, K0
+
+    def solve_newton(K, C, K0, rhs_x, rhs_z, rhs_nu, lams, s, rpi, rc):
+        # eliminate (ds, dlam): rhs_x += G'((rc - lam*rpi)/s)
+        rx = rhs_x + jnp.einsum(
+            "smi,sm->si", ts.Gs, (rc - lams * rpi) / s
+        )
+        rloc = jnp.concatenate([rx, rhs_nu], axis=-1)
+        dloc, dz = schur_arrow_solve(K, C, K0, rloc, rhs_z, axis_name=axis_name)
+        dxs = dloc[:, :n]
+        dnus = dloc[:, n:]
+        ds = -rpi - jnp.einsum("smi,si->sm", ts.Gs, dxs)
+        dlams = -(rc + lams * ds) / s
+        return dxs, dz, dnus, dlams, ds
+
+    def step_len(v, dv, frac):
+        ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
+        amax = jnp.min(ratio)
+        if axis_name is not None:
+            amax = jax.lax.pmin(amax, axis_name)
+        return jnp.minimum(1.0, frac * amax).astype(dt)
+
+    # init
+    K, C, K0 = build_blocks(jnp.ones((S, m), dt), jnp.ones((S, m), dt))
+    rd0, rz0, rpe0, rpi0 = residuals(
+        jnp.zeros((S, n), dt), jnp.zeros((c,), dt), jnp.zeros((S, p), dt),
+        jnp.zeros((S, m), dt), jnp.zeros((S, m), dt),
+    )
+    dxs, dz, dnus, _, _ = solve_newton(
+        K, C, K0, -rd0, -rz0, -rpe0, jnp.ones((S, m), dt), jnp.ones((S, m), dt),
+        rpi0, -jnp.ones((S, m), dt),
+    )
+    xs, z, nus = dxs, dz, dnus
+    s0 = ts.hs - jnp.einsum("smi,si->sm", ts.Gs, xs)
+    smin = jnp.min(s0)
+    if axis_name is not None:
+        smin = jax.lax.pmin(smin, axis_name)
+    s = s0 + jnp.maximum(0.0, -smin * 1.5) + 1.0
+    lams = jnp.ones((S, m), dt)
+
+    def cond(carry):
+        *_, it, done = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        xs, z, nus, lams, s, it, done = carry
+        rd, rz, rpe, rpi = residuals(xs, z, nus, lams, s)
+        total_m = S * m if axis_name is None else None
+        gap_sum = psum(jnp.sum(s * lams))
+        count_m = psum(jnp.asarray(float(S * m), dt))
+        mu = gap_sum / count_m
+        K, C, K0 = build_blocks(lams, s)
+        # predictor
+        dxa, dza, dna, dla, dsa = solve_newton(
+            K, C, K0, -rd, -rz, -rpe, lams, s, rpi, s * lams
+        )
+        ap = step_len(s, dsa, jnp.asarray(1.0, dt))
+        ad = step_len(lams, dla, jnp.asarray(1.0, dt))
+        mu_aff = psum(jnp.sum((s + ap * dsa) * (lams + ad * dla))) / count_m
+        sig = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
+        rc = s * lams + dsa * dla - sig * mu
+        dxs, dz, dnus, dlams, ds = solve_newton(
+            K, C, K0, -rd, -rz, -rpe, lams, s, rpi, rc
+        )
+        frac = jnp.asarray(0.99, dt)
+        alpha = jnp.minimum(step_len(s, ds, frac), step_len(lams, dlams, frac))
+        xs_n = xs + alpha * dxs
+        z_n = z + alpha * dz
+        nus_n = nus + alpha * dnus
+        lams_n = lams + alpha * dlams
+        s_n = s + alpha * ds
+        finite = jnp.all(jnp.isfinite(xs_n)) & jnp.all(jnp.isfinite(s_n))
+        if axis_name is not None:
+            # all shards must freeze together (alpha is already pmin-synced;
+            # this syncs the NaN guard too)
+            finite = jnp.min(jax.lax.all_gather(finite, axis_name))
+        xs_n = jnp.where(finite, xs_n, xs)
+        z_n = jnp.where(finite, z_n, z)
+        nus_n = jnp.where(finite, nus_n, nus)
+        lams_n = jnp.where(finite, lams_n, lams)
+        s_n = jnp.where(finite, s_n, s)
+        rd, rz, rpe, rpi = residuals(xs_n, z_n, nus_n, lams_n, s_n)
+        pres = jnp.sqrt(
+            psum(jnp.sum(rpe**2) + jnp.sum(rpi**2))
+        )
+        dres = jnp.sqrt(psum(jnp.sum(rd**2)) + jnp.sum(rz**2))
+        mu_n = psum(jnp.sum(s_n * lams_n)) / count_m
+        done_n = (pres < tol) & (dres < tol) & (mu_n < tol)
+        done_n = done_n | jnp.logical_not(finite)
+        return (xs_n, z_n, nus_n, lams_n, s_n, it + 1, done_n)
+
+    carry = (xs, z, nus, lams, s, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    xs, z, nus, lams, s, it, done = jax.lax.while_loop(cond, body, carry)
+
+    rd, rz, rpe, rpi = residuals(xs, z, nus, lams, s)
+    count_m = psum(jnp.asarray(float(S * m), dt))
+    pres = jnp.sqrt(psum(jnp.sum(rpe**2) + jnp.sum(rpi**2)))
+    dres = jnp.sqrt(psum(jnp.sum(rd**2)) + jnp.sum(rz**2))
+    gap = psum(jnp.sum(s * lams))
+    info = TwoStageSolveInfo(
+        iterations=it,
+        primal_residual=pres,
+        dual_residual=dres,
+        duality_gap=gap,
+        converged=(pres < 10 * tol) & (dres < 10 * tol) & (gap / count_m < 100 * tol),
+    )
+    return TwoStageSolution(xs=xs, lams=lams, nus=nus, z=z), info

@@ -156,3 +156,50 @@ def test_schur_reverse_adjoint_identity():
         )
     )
     assert abs(lhs - rhs) < 1e-6 * max(1.0, abs(lhs)), (lhs, rhs)
+
+
+def test_solve_two_stage_matches_monolithic():
+    from diffopt_tpu.parallel.schur import solve_two_stage
+
+    ts = _random_two_stage(S=6)
+    _, _, sol_ref = _solve_monolithic(ts)
+    sol, info = solve_two_stage(ts)
+    assert bool(info.converged), (info.primal_residual, info.dual_residual)
+    np.testing.assert_allclose(sol.xs, sol_ref.xs, atol=1e-6)
+    np.testing.assert_allclose(sol.z, sol_ref.z, atol=1e-6)
+    np.testing.assert_allclose(sol.lams, sol_ref.lams, atol=1e-6)
+    np.testing.assert_allclose(sol.nus, sol_ref.nus, atol=1e-6)
+
+
+def test_solve_two_stage_sharded():
+    """End-to-end coupled solve under shard_map on the 8-device mesh."""
+    from diffopt_tpu.parallel import make_mesh
+    from diffopt_tpu.parallel.schur import solve_two_stage
+
+    ts = _random_two_stage(S=16, seed=5)
+    sol_ref, info_ref = solve_two_stage(ts)
+    assert bool(info_ref.converged)
+
+    mesh = make_mesh(8, axis_name="scen")
+    shard = lambda x: P("scen", *([None] * (x.ndim - 1)))
+    ts_spec = jax.tree.map(shard, ts)
+    ts_spec = TwoStageQP(
+        Qs=ts_spec.Qs, qs=ts_spec.qs, As=ts_spec.As, bs=ts_spec.bs,
+        Gs=ts_spec.Gs, hs=ts_spec.hs, Bs=ts_spec.Bs, Q0=P(), q0=P(),
+    )
+    out_spec = (
+        jax.tree.map(lambda _: P("scen"), sol_ref)._replace(z=P()),
+        jax.tree.map(lambda _: P(), info_ref),
+    )
+
+    fn = jax.shard_map(
+        lambda t: solve_two_stage(t, axis_name="scen"),
+        mesh=mesh,
+        in_specs=(ts_spec,),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+    sol, info = jax.jit(fn)(ts)
+    assert bool(info.converged)
+    np.testing.assert_allclose(sol.xs, sol_ref.xs, atol=1e-7)
+    np.testing.assert_allclose(sol.z, sol_ref.z, atol=1e-7)
