@@ -18,18 +18,20 @@ import jax.numpy as jnp
 
 
 def make_batch(B, n, m, p, dtype=jnp.float32, seed=0):
+    """Random strictly-feasible QP batch, generated ON DEVICE (uploading
+    hundreds of MB through the axon tunnel would dominate the bench)."""
     from diffopt_tpu import QuadProgram
 
-    rng = np.random.default_rng(seed)
-    L = rng.normal(size=(B, n, n)).astype(np.float32)
-    Q = L @ np.transpose(L, (0, 2, 1)) + n * np.eye(n, dtype=np.float32)
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    L = jax.random.normal(ks[0], (B, n, n), dtype)
+    Q = L @ jnp.swapaxes(L, -1, -2) + n * jnp.eye(n, dtype=dtype)
     return QuadProgram(
-        Q=jnp.asarray(Q, dtype),
-        q=jnp.asarray(rng.normal(size=(B, n)), dtype),
-        A=jnp.asarray(rng.normal(size=(B, p, n)), dtype),
-        b=jnp.asarray(rng.normal(size=(B, p)), dtype),
-        G=jnp.asarray(rng.normal(size=(B, m, n)), dtype),
-        h=jnp.asarray(rng.normal(size=(B, m)) + 2.0, dtype),
+        Q=Q,
+        q=jax.random.normal(ks[1], (B, n), dtype),
+        A=jax.random.normal(ks[2], (B, p, n), dtype),
+        b=jax.random.normal(ks[3], (B, p), dtype),
+        G=jax.random.normal(ks[4], (B, m, n), dtype),
+        h=jax.random.normal(ks[5], (B, m), dtype) + 2.0,
     )
 
 
@@ -55,11 +57,15 @@ def main():
     _ = float(val)
 
     # vary the input every iteration (the tunnel memoizes executions with
-    # bit-identical inputs); sync each call via scalar host transfers
+    # bit-identical inputs) by perturbing ON DEVICE — uploading fresh host
+    # batches through the tunnel would dominate wall time; sync each call
+    # via scalar host transfers
     iters = 4
-    qps = [make_batch(B, n, m, p, seed=i + 1) for i in range(iters)]
-    for q_ in qps:
-        jax.block_until_ready(q_)
+    qps = []
+    for i in range(iters):
+        eps = np.float32(1e-7) * (i + 1)
+        qps.append(jax.tree.map(lambda x: x * (1 + eps), qp))
+    jax.block_until_ready(qps)
     times = []
     for q_ in qps:
         t0 = time.perf_counter()

@@ -171,3 +171,51 @@ def test_qp_to_cone_lowering():
     np.testing.assert_allclose(sol_cp.x, sol_qp.z, atol=1e-6)
     # conic dual y on nonneg rows == QP lam
     np.testing.assert_allclose(sol_cp.y[0:], sol_qp.lam, atol=1e-6)
+
+
+def test_conic_vector_rhs_parameters():
+    """Vector-RHS conic parameters (reference test/parameters.jl:103-152):
+    parameters appearing in conic constraint constants, differentiated
+    through the ParametricProgram conic path."""
+    from diffopt_tpu.parameters import ParametricProgram
+
+    # min x1 + x2 s.t. (x1 - p1, x2 - p2) in R+^2  -> x = p, dx/dp = I
+    def build(theta):
+        A = -jnp.eye(2)
+        b = -theta
+        c = jnp.ones(2)
+        return ConeProgram(A=A, b=b, c=c, cones=ConeSpec([("nonneg", 2)]))
+
+    layer = ParametricProgram(
+        build, kind="conic", max_iters=40000, tol=1e-11, method="lstsq"
+    )
+    theta = jnp.array([1.5, -0.5])
+    sol = layer.solve(theta)
+    np.testing.assert_allclose(sol.x, theta, atol=1e-6)
+    dsol = layer.forward_differentiate(theta, jnp.array([1.0, 2.0]))
+    np.testing.assert_allclose(dsol.x, [1.0, 2.0], atol=1e-5)
+    dtheta = layer.reverse_differentiate(theta, dx=jnp.array([3.0, 4.0]))
+    np.testing.assert_allclose(dtheta, [3.0, 4.0], atol=1e-5)
+
+
+def test_conic_soc_parameter_radius():
+    """Parameter in an SOC radius: min -x1 s.t. (p, x1, x2) in SOC ->
+    x1 = p, dx1/dp = 1."""
+    from diffopt_tpu.parameters import ParametricProgram
+
+    def build(theta):
+        p = theta[0]
+        # rows (p, x1, x2): A = -coeffs, b = const
+        A = jnp.array([[0.0, 0.0], [-1.0, 0.0], [0.0, -1.0]])
+        b = jnp.concatenate([p.reshape(1), jnp.zeros(2)])
+        c = jnp.array([-1.0, 0.0])
+        return ConeProgram(A=A, b=b, c=c, cones=ConeSpec([("soc", 3)]))
+
+    layer = ParametricProgram(
+        build, kind="conic", max_iters=40000, tol=1e-11, method="lstsq"
+    )
+    theta = jnp.array([2.0])
+    sol = layer.solve(theta)
+    np.testing.assert_allclose(sol.x[0], 2.0, atol=1e-5)
+    dsol = layer.forward_differentiate(theta, jnp.array([1.0]))
+    np.testing.assert_allclose(dsol.x[0], 1.0, atol=1e-4)
