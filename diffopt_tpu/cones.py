@@ -16,8 +16,13 @@ Supported cone kinds (MOI set -> kind):
 * ``nonneg``  — Nonnegatives; dual = Nonneg:    Pi = max(v, 0),  DPi = diag(v>=0)
 * ``nonpos``  — Nonpositives; dual = Nonpos:    Pi = min(v, 0),  DPi = diag(v<=0)
 * ``soc``     — SecondOrderCone (self-dual): closed-form 2x2 block formula
+* ``rsoc``    — RotatedSecondOrderCone (self-dual): orthogonal rotation of soc
 * ``psd``     — PSD cone in **svec** coordinates (self-dual): eigh-based
 * ``exp``     — ExponentialCone; dual cone projection via Newton iteration.
+* ``pow``     — PowerCone(alpha) (3-d); dual projection via Moreau + the
+  scalar root-find of Hien (2015) on the boundary parametrization. Blocks
+  carry the exponent: ``("pow", 3, alpha)``.
+* ``dual_pow``— DualPowerCone(alpha); projects onto the primal power cone.
 
 PSD convention: rows are the *scaled* triangle (svec) — upper triangle,
 column-by-column, off-diagonal entries multiplied by sqrt(2) — so the
@@ -39,40 +44,71 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-_KINDS = ("zero", "nonneg", "nonpos", "soc", "psd", "exp", "dual_exp")
+_KINDS = (
+    "zero", "nonneg", "nonpos", "soc", "rsoc", "psd", "exp", "dual_exp",
+    "pow", "dual_pow",
+)
 
 
 class ConeSpec:
-    """Static, hashable ordered list of ``(kind, dim)`` cone blocks.
+    """Static, hashable ordered list of cone blocks.
 
-    ``dim`` is the number of *rows* the block spans (for ``psd`` this is the
-    triangle length ``d(d+1)/2``, not the matrix side).
+    Blocks are ``(kind, dim)`` or, for parameterized cones (``pow`` /
+    ``dual_pow``), ``(kind, dim, alpha)``. ``dim`` is the number of *rows*
+    the block spans (for ``psd`` this is the triangle length ``d(d+1)/2``,
+    not the matrix side). Blocks are normalized internally to
+    ``(kind, dim, param)`` with ``param=None`` for unparameterized kinds.
     """
 
     __slots__ = ("blocks",)
 
-    def __init__(self, blocks: Sequence[Tuple[str, int]]):
-        blocks = tuple((str(k), int(d)) for k, d in blocks)
-        for k, d in blocks:
+    def __init__(self, blocks: Sequence[Tuple]):
+        norm = []
+        for blk in blocks:
+            if len(blk) == 2:
+                k, d = blk
+                prm = None
+            else:
+                k, d, prm = blk
+                prm = float(prm)
+            norm.append((str(k), int(d), prm))
+        blocks = tuple(norm)
+        for k, d, prm in blocks:
             if k not in _KINDS:
                 raise ValueError(f"unknown cone kind {k!r}; expected one of {_KINDS}")
             if k == "psd":
                 side = _tri_side(d)
                 if side * (side + 1) // 2 != d:
                     raise ValueError(f"psd block dim {d} is not a triangle number")
-            if k in ("exp", "dual_exp") and d != 3:
+            if k in ("exp", "dual_exp", "pow", "dual_pow") and d != 3:
                 raise ValueError(f"{k} cone blocks must have dim 3, got {d}")
+            if k == "rsoc" and d < 2:
+                raise ValueError(f"rsoc block dim must be >= 2, got {d}")
+            if k in ("pow", "dual_pow"):
+                if prm is None or not (0.0 < prm < 1.0):
+                    raise ValueError(
+                        f"{k} blocks need an exponent in (0,1): ('{k}', 3, alpha)"
+                    )
+            elif prm is not None:
+                raise ValueError(f"{k} blocks take no parameter")
         self.blocks = blocks
 
     @property
     def total_dim(self) -> int:
-        return sum(d for _, d in self.blocks)
+        return sum(d for _, d, _ in self.blocks)
 
     def offsets(self):
         """Yield (kind, start, dim) for each block."""
         off = 0
-        for k, d in self.blocks:
+        for k, d, _ in self.blocks:
             yield k, off, d
+            off += d
+
+    def offsets_params(self):
+        """Yield (kind, start, dim, param) for each block."""
+        off = 0
+        for k, d, prm in self.blocks:
+            yield k, off, d, prm
             off += d
 
     def __hash__(self):
@@ -321,6 +357,162 @@ def _dpi_exp_dual_dense(v: Array) -> Array:
     return jax.jacfwd(_pi_exp_dual)(v)
 
 
+# --- rotated second-order cone ----------------------------------------------
+# K_rsoc = cl{(t,u,x): 2tu >= ||x||^2, t,u >= 0}. The symmetric orthogonal map
+# T = [[1/sqrt2, 1/sqrt2, 0], [1/sqrt2, -1/sqrt2, 0], [0, 0, I]] carries K_rsoc
+# onto K_soc, so the cone is self-dual and Pi_rsoc = T Pi_soc T (with T' = T).
+
+
+def _rsoc_rotation(d: int, dtype) -> Array:
+    import numpy as np
+
+    T = np.eye(d)
+    isq = 1.0 / np.sqrt(2.0)
+    T[0, 0] = isq
+    T[0, 1] = isq
+    T[1, 0] = isq
+    T[1, 1] = -isq
+    return jnp.asarray(T, dtype)
+
+
+def _pi_rsoc(v: Array) -> Array:
+    T = _rsoc_rotation(v.shape[-1], v.dtype)
+    return _pi_soc(v @ T) @ T  # T symmetric: v @ T == T @ v for vectors
+
+
+def _dpi_rsoc_dense(v: Array) -> Array:
+    T = _rsoc_rotation(v.shape[-1], v.dtype)
+    return T @ _dpi_soc_dense(T @ v) @ T
+
+
+# --- power cone --------------------------------------------------------------
+# K_pow(a) = cl{(x,y,z): x^a y^(1-a) >= |z|, x,y >= 0}; its dual is
+# K_pow(a)* = cl{(u,v,w): (u/a)^a (v/(1-a))^(1-a) >= |w|, u,v >= 0}.
+# Projection onto K* via Moreau: Pi_{K*}(v) = v + Pi_K(-v).
+# Pi_K follows Hien (2015) "Differential properties of Euclidean projection
+# onto power cone" Thm 3.1 (the SCS proj_power parametrization): for a point
+# in neither K nor the polar -K*, the projection is
+#   (x(r), y(r), sign(z0) r)  with  r in (0, |z0|)  the root of
+#   F(r) = x(r)^a y(r)^(1-a) - r,
+#   x(r) = (x0 + sqrt(x0^2 + 4 a r (|z0|-r))) / 2,
+#   y(r) = (y0 + sqrt(y0^2 + 4 (1-a) r (|z0|-r))) / 2.
+# Safeguarded Newton (bisection bracket) in r. Differentiation does NOT go
+# through the iteration (reverse mode through 60 scan steps is numerically
+# fragile when r underflows near the polar region): the JVP is the
+# closed-form implicit derivative of the projection KKT system
+#   p - v0 + mu * grad(g)(p) = 0,  g(p) = |z| - x^a y^(1-a) = 0
+# i.e. solve [[I + mu H, grad g], [grad g', 0]] [dp; dmu] = [dv; 0]
+# (Hien 2015, Thm 4.2 — the derivative is the top-left block, symmetric).
+
+
+def _pow_val(x: Array, y: Array, a: float) -> Array:
+    """x^a * y^(1-a) for x,y >= 0 (only used inside boolean membership
+    tests, where NaN gradients cannot leak)."""
+    return jnp.maximum(x, 0.0) ** a * jnp.maximum(y, 0.0) ** (1 - a)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _proj_pow_primal(v0: Array, a: float) -> Array:
+    """Projection of a 3-vector onto the primal power cone K_pow(a)."""
+    x0, y0, z0 = v0[0], v0[1], v0[2]
+    dt = v0.dtype
+    zh = jnp.abs(z0)
+
+    in_cone = (x0 >= 0) & (y0 >= 0) & (_pow_val(x0, y0, a) >= zh)
+    in_polar = (
+        (x0 <= 0)
+        & (y0 <= 0)
+        & (_pow_val(-x0 / a, -y0 / (1 - a), a) >= zh)
+    )
+
+    def general():
+        zs = jnp.maximum(zh, jnp.asarray(1e-12, dt))
+
+        def xr(r):
+            return 0.5 * (x0 + jnp.sqrt(x0 * x0 + 4 * a * r * (zs - r)))
+
+        def yr(r):
+            return 0.5 * (y0 + jnp.sqrt(y0 * y0 + 4 * (1 - a) * r * (zs - r)))
+
+        def F(r):
+            lx = jnp.log(jnp.maximum(xr(r), 1e-300))
+            ly = jnp.log(jnp.maximum(yr(r), 1e-300))
+            return jnp.exp(a * lx + (1 - a) * ly) - r
+
+        dF = jax.grad(F)
+
+        # invariant F(lo) >= 0 >= F(hi) (F(0+) >= 0 always; if F never goes
+        # negative on (0, zs] — the zh ~ 0 degenerate case — hi stays at zs
+        # and the iteration converges to r = zs ~ 0, the correct limit)
+        def body(carry, _):
+            lo, hi, r = carry
+            f = F(r)
+            lo = jnp.where(f >= 0, r, lo)
+            hi = jnp.where(f >= 0, hi, r)
+            df = dF(r)
+            newton = r - f / jnp.where(jnp.abs(df) > 1e-30, df, 1.0)
+            ok = (newton > lo) & (newton < hi)
+            r_next = jnp.where(ok, newton, 0.5 * (lo + hi))
+            return (lo, hi, r_next), None
+
+        lo0 = jnp.zeros((), dt)
+        (lo, hi, r), _ = jax.lax.scan(
+            body, (lo0, zs, 0.5 * zs), None, length=60
+        )
+        return jnp.stack([xr(r), yr(r), jnp.sign(z0) * r]).astype(dt)
+
+    zero = jnp.zeros(3, dt)
+    gen = general()
+    return jnp.where(in_cone, v0, jnp.where(in_polar, zero, gen))
+
+
+@_proj_pow_primal.defjvp
+def _proj_pow_primal_jvp(a, primals, tangents):
+    (v0,) = primals
+    (dv,) = tangents
+    p = _proj_pow_primal(v0, a)
+    dt = v0.dtype
+    x0, y0, z0 = v0[0], v0[1], v0[2]
+    zh = jnp.abs(z0)
+    in_cone = (x0 >= 0) & (y0 >= 0) & (_pow_val(x0, y0, a) >= zh)
+    in_polar = (
+        (x0 <= 0) & (y0 <= 0) & (_pow_val(-x0 / a, -y0 / (1 - a), a) >= zh)
+    )
+
+    x, y = jnp.maximum(p[0], 1e-30), jnp.maximum(p[1], 1e-30)
+    r = jnp.abs(p[2])
+    mu = jnp.maximum(zh - r, 0.0)
+    sig = jnp.where(z0 >= 0, 1.0, -1.0).astype(dt)
+    # phi = x^a y^(1-a) on the boundary (= r); gradient/Hessian in log form
+    phi = jnp.exp(a * jnp.log(x) + (1 - a) * jnp.log(y))
+    gx = -a * phi / x
+    gy = -(1 - a) * phi / y
+    g = jnp.stack([gx, gy, sig])
+    # H = -hess(phi); z row/col are zero
+    hxx = -a * (a - 1) * phi / (x * x)
+    hxy = -a * (1 - a) * phi / (x * y)
+    hyy = -(1 - a) * (-a) * phi / (y * y)
+    H = jnp.array(
+        [[hxx, hxy, 0.0], [hxy, hyy, 0.0], [0.0, 0.0, 0.0]], dt
+    )
+    M = jnp.zeros((4, 4), dt)
+    M = M.at[:3, :3].set(jnp.eye(3, dtype=dt) + mu * H)
+    M = M.at[:3, 3].set(g)
+    M = M.at[3, :3].set(g)
+    rhs = jnp.concatenate([dv, jnp.zeros((1,), dt)])
+    dp_gen = jnp.linalg.solve(M, rhs)[:3]
+    dp = jnp.where(in_cone, dv, jnp.where(in_polar, jnp.zeros(3, dt), dp_gen))
+    return p, dp
+
+
+def _pi_pow_dual(v: Array, a: float) -> Array:
+    """Projection onto K_pow(a)^* via Moreau: Pi_{K*}(v) = v + Pi_K(-v)."""
+    return v + _proj_pow_primal(-v, a)
+
+
 # ---------------------------------------------------------------------------
 # Public API over a full ConeSpec
 # ---------------------------------------------------------------------------
@@ -330,7 +522,7 @@ def pi(cones: ConeSpec, v: Array) -> Array:
     """Project ``v`` onto the product of dual cones (reference ``DiffOpt.pi``,
     ``src/diff_opt.jl:491-499``)."""
     outs = []
-    for kind, off, d in cones.offsets():
+    for kind, off, d, prm in cones.offsets_params():
         blk = v[..., off : off + d]
         if kind == "zero":
             outs.append(blk)
@@ -340,6 +532,8 @@ def pi(cones: ConeSpec, v: Array) -> Array:
             outs.append(jnp.clip(blk, max=0.0))
         elif kind == "soc":
             outs.append(_pi_soc(blk))
+        elif kind == "rsoc":
+            outs.append(_pi_rsoc(blk))
         elif kind == "psd":
             outs.append(_pi_psd_tri(blk))
         elif kind == "exp":
@@ -347,6 +541,11 @@ def pi(cones: ConeSpec, v: Array) -> Array:
         elif kind == "dual_exp":
             # dual of the dual-exp set is the primal exp cone
             outs.append(_proj_exp_primal(blk))
+        elif kind == "pow":
+            outs.append(_pi_pow_dual(blk, prm))
+        elif kind == "dual_pow":
+            # dual of the dual-pow set is the primal power cone
+            outs.append(_proj_pow_primal(blk, prm))
         else:  # pragma: no cover
             raise NotImplementedError(kind)
     return jnp.concatenate(outs, axis=-1) if outs else v[..., :0]
@@ -357,7 +556,7 @@ def dpi_apply(cones: ConeSpec, v: Array, dv: Array) -> Array:
     materializing the matrix (the TPU-native form of the reference's
     ``BlockDiagonal`` D-pi, ``src/diff_opt.jl:509-519``)."""
     outs = []
-    for kind, off, d in cones.offsets():
+    for kind, off, d, prm in cones.offsets_params():
         blk = v[..., off : off + d]
         dblk = dv[..., off : off + d]
         if kind == "zero":
@@ -368,11 +567,17 @@ def dpi_apply(cones: ConeSpec, v: Array, dv: Array) -> Array:
             outs.append(jnp.where(blk <= 0, dblk, 0.0))
         elif kind == "soc":
             outs.append(_dpi_soc_dense(blk) @ dblk)
+        elif kind == "rsoc":
+            outs.append(_dpi_rsoc_dense(blk) @ dblk)
         elif kind == "psd":
             outs.append(_dpi_psd_tri_apply(blk, dblk))
         elif kind in ("exp", "dual_exp"):
             fn = _pi_exp_dual if kind == "exp" else _proj_exp_primal
             _, out = jax.jvp(fn, (blk,), (dblk,))
+            outs.append(out)
+        elif kind in ("pow", "dual_pow"):
+            fn = _pi_pow_dual if kind == "pow" else _proj_pow_primal
+            _, out = jax.jvp(lambda b: fn(b, prm), (blk,), (dblk,))
             outs.append(out)
         else:  # pragma: no cover
             raise NotImplementedError(kind)
@@ -383,16 +588,22 @@ def dpi_rmatvec(cones: ConeSpec, v: Array, dv: Array) -> Array:
     """Apply ``DPi(v)' @ dv``. All supported DPi blocks are symmetric except
     the exp-cone ones, which are handled via VJP."""
     outs = []
-    for kind, off, d in cones.offsets():
+    for kind, off, d, prm in cones.offsets_params():
         blk = v[..., off : off + d]
         dblk = dv[..., off : off + d]
         if kind in ("exp", "dual_exp"):
             fn = _pi_exp_dual if kind == "exp" else _proj_exp_primal
             _, vjp = jax.vjp(fn, blk)
             outs.append(vjp(dblk)[0])
+        elif kind in ("pow", "dual_pow"):
+            fn = _pi_pow_dual if kind == "pow" else _proj_pow_primal
+            _, vjp = jax.vjp(lambda b: fn(b, prm), blk)
+            outs.append(vjp(dblk)[0])
         else:
             full = dpi_apply(
-                ConeSpec([(kind, d)]), blk, dblk
+                ConeSpec([(kind, d, prm) if prm is not None else (kind, d)]),
+                blk,
+                dblk,
             )
             outs.append(full)
     return jnp.concatenate(outs, axis=-1) if outs else dv[..., :0]
@@ -402,7 +613,7 @@ def dpi_dense(cones: ConeSpec, v: Array) -> Array:
     """Materialized block-diagonal ``DPi(v)`` (for direct/dense solves)."""
     m = cones.total_dim
     out = jnp.zeros(v.shape[:-1] + (m, m), v.dtype)
-    for kind, off, d in cones.offsets():
+    for kind, off, d, prm in cones.offsets_params():
         blk = v[..., off : off + d]
         if kind == "zero":
             B = jnp.broadcast_to(jnp.eye(d, dtype=v.dtype), v.shape[:-1] + (d, d))
@@ -416,6 +627,12 @@ def dpi_dense(cones: ConeSpec, v: Array) -> Array:
             )
         elif kind == "soc":
             B = _dpi_soc_dense(blk) if blk.ndim == 1 else jax.vmap(_dpi_soc_dense)(blk)
+        elif kind == "rsoc":
+            B = (
+                _dpi_rsoc_dense(blk)
+                if blk.ndim == 1
+                else jax.vmap(_dpi_rsoc_dense)(blk)
+            )
         elif kind == "psd":
             B = (
                 _dpi_psd_tri_dense(blk)
@@ -424,6 +641,10 @@ def dpi_dense(cones: ConeSpec, v: Array) -> Array:
             )
         elif kind in ("exp", "dual_exp"):
             fn = _dpi_exp_dual_dense if kind == "exp" else jax.jacfwd(_proj_exp_primal)
+            B = fn(blk) if blk.ndim == 1 else jax.vmap(fn)(blk)
+        elif kind in ("pow", "dual_pow"):
+            base = _pi_pow_dual if kind == "pow" else _proj_pow_primal
+            fn = jax.jacfwd(lambda b: base(b, prm))
             B = fn(blk) if blk.ndim == 1 else jax.vmap(fn)(blk)
         else:  # pragma: no cover
             raise NotImplementedError(kind)
