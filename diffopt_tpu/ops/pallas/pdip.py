@@ -192,8 +192,8 @@ def _pdip_kernel(
         s = jnp.zeros((m, LANE), dt)
         lam = jnp.zeros((m, LANE), dt)
 
-    def body(_, carry):
-        z, nu, lam, s = carry
+    def body(carry):
+        it, z, nu, lam, s, _ = carry
         rd, rpe, rpi = residuals(z, nu, lam, s)
         if m:
             mu = jnp.sum(s * lam, axis=0) / m  # (LANE,)
@@ -231,9 +231,19 @@ def _pdip_kernel(
         step = (finite & ~done)[None, :]
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
         upd = lambda x, dx: jnp.where(step, x + alpha * dx, x)
-        return (upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds))
+        # tile-level early exit: once every lane is converged (or dead), the
+        # while_loop below stops — on well-conditioned batches typical
+        # convergence is ~12-16 iterations, so this saves the fixed-25 tail
+        alldone = jnp.all(done | ~finite)
+        return (it + 1, upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds), alldone)
 
-    z, nu, lam, s = jax.lax.fori_loop(0, iters, body, (z, nu, lam, s))
+    def cond(carry):
+        it, *_, alldone = carry
+        return (it < iters) & ~alldone
+
+    _, z, nu, lam, s, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), z, nu, lam, s, jnp.zeros((), jnp.bool_))
+    )
     z_ref[:] = z
     lam_ref[:] = lam
     nu_ref[:] = nu
