@@ -25,9 +25,13 @@ inertia-correction loop, and the JuMP-convention sign fixups replicate
 ``nlp_utilities.jl:181-396,457-500`` exactly — these sign conventions are
 load-bearing for parity with the reference's tests.
 
-Dual conventions (JuMP/MOI, ``_sense_mult`` fixups at
-``nlp_utilities.jl:486-499``): for Min, y >= 0 for >= constraints, y <= 0 for
-<= constraints; bound duals zL >= 0 (lower), zU <= 0 (upper). Flipped for Max.
+Dual conventions (JuMP/MOI): y >= 0 for >= constraints, y <= 0 for <=
+constraints; bound duals zL >= 0 (lower), zU <= 0 (upper) — for BOTH Min and
+Max senses (the duals satisfy stationarity of ``f - sigma*y*c``; the
+reference's dual-sign asserts at ``nlp_utilities.jl:219-266`` enforce exactly
+this sense-independence, and its ``_sense_mult`` fixups at
+``nlp_utilities.jl:486-499`` — replicated in ``_sign_fix`` — convert the
+internal sensitivity rows back to it).
 """
 
 from __future__ import annotations

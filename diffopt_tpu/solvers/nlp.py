@@ -17,8 +17,9 @@ steps, a condensed symmetric Newton system (two bound-condensed blocks +
 equality block solved by LU), Levenberg regularization for nonconvexity, and
 a NaN-freeze guard. All static shapes; batches via ``vmap``.
 
-Returns duals converted to the JuMP conventions used by
-:mod:`diffopt_tpu.nlp_diff` (y = -sigma*yhat, zL = sigma*zl, zU = -sigma*zu).
+Returns duals converted to the JuMP/MOI conventions used by
+:mod:`diffopt_tpu.nlp_diff` (y = -yhat, zL = zl, zU = -zu — sense-independent;
+see the output-conversion comment at the bottom of :func:`solve`).
 """
 
 from __future__ import annotations
@@ -270,9 +271,14 @@ def solve(
         converged=err < 10 * tol,
     )
 
-    # convert internal multipliers to JuMP conventions (see nlp_diff docstring)
+    # convert internal multipliers to the JuMP/MOI conventions nlp_diff
+    # ingests. The mapping is SENSE-INDEPENDENT: the internal problem is
+    # min sigma*f but the reported Lagrangian is stationarity of
+    # f - sigma*y*c (reference nlp_utilities.jl:46-54), which cancels the
+    # sigma — geq duals >= 0, leq <= 0, zL >= 0, zU <= 0 for Min AND Max
+    # (the reference's dual-sign asserts, nlp_utilities.jl:219-266).
     x = st.w[:n]
-    y = -sigma * st.yhat
-    zL = sigma * st.zl[:n]
-    zU = -sigma * st.zu[:n]
+    y = -st.yhat
+    zL = st.zl[:n]
+    zU = -st.zu[:n]
     return NLPSolution(x=x, y=y, zL=zL, zU=zU), info

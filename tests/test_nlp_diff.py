@@ -88,9 +88,10 @@ def test_leq_impact_max():
         sense="max",
     )
     p = jnp.array([1.5])
-    # max convention: leq dual >= 0; active con1 dual = 1
+    # leq dual <= 0 in both senses (stationarity of f - sigma*y*c); active
+    # con1 dual = -1
     sol = NLPSolution(
-        x=jnp.array([1.5]), y=jnp.array([1.0, 0.0]), zL=jnp.zeros(1), zU=jnp.zeros(1)
+        x=jnp.array([1.5]), y=jnp.array([-1.0, 0.0]), zL=jnp.zeros(1), zU=jnp.zeros(1)
     )
     fwd = forward_differentiate(nlp, sol, p, jnp.array([0.2]))
     np.testing.assert_allclose(fwd.dx, [0.2], atol=ATOL)
@@ -151,7 +152,9 @@ def test_softmax_entropy_jacobian():
         sense="max",
     )
     p = jnp.asarray(pv)
-    y_eq = float(np.log(np.sum(np.exp(pv))) - 1.0)
+    # stationarity of f - sigma*y*c (Max: f + y*c): p - log x - 1 + y = 0 at
+    # x = softmax(p) gives y = 1 - logsumexp(p)
+    y_eq = float(1.0 - np.log(np.sum(np.exp(pv))))
     sol = NLPSolution(
         x=jnp.asarray(s),
         y=jnp.concatenate([jnp.array([y_eq]), jnp.zeros(k)]),

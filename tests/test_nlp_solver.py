@@ -144,8 +144,9 @@ def test_max_sense_leq():
     sol, info = nlpsolver.solve(nlp, p)
     assert bool(info.converged), info
     np.testing.assert_allclose(sol.x, [1.5], atol=1e-6)
-    # max convention: leq dual >= 0, active con1 dual = 1
-    np.testing.assert_allclose(sol.y, [1.0, 0.0], atol=1e-5)
+    # leq duals are <= 0 regardless of sense (stationarity of f - sigma*y*c:
+    # 1 + y = 0 for Max) — the reference's convention, nlp_utilities.jl:219-266
+    np.testing.assert_allclose(sol.y, [-1.0, 0.0], atol=1e-5)
 
 
 def test_nonconvex_from_bad_start():
