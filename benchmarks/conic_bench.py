@@ -18,18 +18,26 @@ import jax.numpy as jnp
 
 
 def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
-    """Random feasible SOCP batch: min c'x s.t. ||Fx - g|| <= e'x + f."""
+    """Random SOCP batch ``min c'x s.t. ||Fx - g|| <= e'x + f`` that is
+    certifiably strictly feasible (f = ||g|| + 1 > ||F 0 - g|| at x = 0) and
+    bounded (||e|| scaled below sigma_min(F), so no recession direction
+    increases the slack). An unconstrained-random family puts infeasible /
+    unbounded instances in the batch, which benchmarks solver divergence
+    instead of solves."""
     from diffopt_tpu import ConeProgram, ConeSpec
 
     rng = np.random.default_rng(seed)
     k = n  # SOC dim n+1
     F = rng.normal(size=(B, k, n)).astype(np.float32)
     g = rng.normal(size=(B, k)).astype(np.float32)
-    e = rng.normal(size=(B, n)).astype(np.float32) * 0.1
+    e = rng.normal(size=(B, n)).astype(np.float32)
+    smin = np.linalg.svd(F, compute_uv=False)[:, -1]  # (B,)
+    e *= (0.5 * smin / np.maximum(np.linalg.norm(e, axis=1), 1e-30))[:, None]
+    f = np.linalg.norm(g, axis=1, keepdims=True) + 1.0
     c = rng.normal(size=(B, n)).astype(np.float32)
-    # rows: (e'x + 2, Fx - g) in SOC(k+1): A = -coeffs, b = const
+    # rows: (e'x + f, Fx - g) in SOC(k+1): A = -coeffs, b = const
     A = np.concatenate([-e[:, None, :], -F], axis=1)
-    b = np.concatenate([2 * np.ones((B, 1), np.float32), -g], axis=1)
+    b = np.concatenate([f.astype(np.float32), -g], axis=1)
     cones = ConeSpec([("soc", k + 1)])
     return ConeProgram(
         A=jnp.asarray(A, dtype), b=jnp.asarray(b, dtype), c=jnp.asarray(c, dtype),
@@ -40,12 +48,14 @@ def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
 def main():
     from diffopt_tpu import solve_conic
 
-    B = 512
+    B = 8192  # amortize dispatch latency (same rationale as ../bench.py)
     cp = make_socp_batch(B)
 
     def loss(cp):
         sol = jax.vmap(
-            lambda c: solve_conic(c, max_iters=2000, tol=1e-6, method="gram")
+            lambda c: solve_conic(
+                c, max_iters=50, tol=1e-6, method="gram", solver="ipm"
+            )
         )(cp)
         return jnp.sum(sol.x**2)
 

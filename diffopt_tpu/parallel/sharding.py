@@ -44,6 +44,8 @@ def batch_pad(tree: Any, multiple: int) -> Any:
     padded by repeating the first element so padded solves stay well-posed)."""
 
     def pad(x):
+        if jnp.ndim(x) == 0:  # scalar leaves (shared params) have no batch dim
+            return x
         b = x.shape[0]
         rem = (-b) % multiple
         if rem == 0:

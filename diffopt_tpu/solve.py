@@ -111,13 +111,33 @@ def solve_qp(
 from .ir import ConeProgram, ConeSolution, ConeTangent  # noqa: E402
 from . import conic_diff  # noqa: E402
 from .solvers import conic as conicsolver  # noqa: E402
+from .solvers import conic_ipm  # noqa: E402
+
+
+def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
+    """Resolve the forward-pass solver. ``auto`` picks the NT-scaled interior
+    point method for symmetric-cone programs (~20 Newton steps) and the DR
+    splitting otherwise (exp/pow/psd blocks)."""
+    if solver == "auto":
+        solver = "ipm" if conic_ipm.supports(cones) else "dr"
+    if solver == "ipm":
+        # the IPM converges in <= ~25 steps; a DR-scaled max_iters would
+        # just inflate the while_loop trip count
+        return lambda cp: conic_ipm.solve(
+            cp, max_iters=min(max_iters, 50), tol=tol
+        )
+    if solver == "dr":
+        return lambda cp: conicsolver.solve(
+            cp, max_iters=max_iters, tol=tol, alpha=alpha
+        )
+    raise ValueError(f"solver must be 'auto', 'ipm' or 'dr', got {solver!r}")
 
 
 @lru_cache(maxsize=None)
-def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters):
+def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters, solver):
     @jax.custom_vjp
     def _solve(cp: ConeProgram) -> ConeSolution:
-        sol, _ = conicsolver.solve(cp, max_iters=max_iters, tol=tol, alpha=alpha)
+        sol, _ = _conic_solver_fn(solver, cp.cones, max_iters, tol, alpha)(cp)
         return sol
 
     def _fwd(cp):
@@ -136,10 +156,10 @@ def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters):
 
 
 @lru_cache(maxsize=None)
-def _make_solve_conic_jvp(max_iters, tol, alpha, method, refine_iters):
+def _make_solve_conic_jvp(max_iters, tol, alpha, method, refine_iters, solver):
     @jax.custom_jvp
     def _solve(cp: ConeProgram) -> ConeSolution:
-        sol, _ = conicsolver.solve(cp, max_iters=max_iters, tol=tol, alpha=alpha)
+        sol, _ = _conic_solver_fn(solver, cp.cones, max_iters, tol, alpha)(cp)
         return sol
 
     @_solve.defjvp
@@ -168,10 +188,19 @@ def solve_conic(
     method: str = "lstsq",
     refine_iters: int = 0,
     mode: str = "vjp",
+    solver: str = "auto",
 ) -> ConeSolution:
     """Solve a cone program differentiably (implicit diff of the homogeneous
-    self-dual embedding at the solution)."""
-    key = (max_iters, tol, alpha, method, refine_iters)
+    self-dual embedding at the solution). ``solver='auto'`` uses the NT-scaled
+    interior-point method (``solvers/conic_ipm.py``) for symmetric-cone
+    programs and DR splitting (``solvers/conic.py``) otherwise; pass ``'dr'``
+    / ``'ipm'`` to force one."""
+    if solver == "auto" and (
+        not conic_ipm.supports(cp.cones)
+        or all(k == "zero" for k, _, _ in cp.cones.blocks)
+    ):
+        solver = "dr"
+    key = (max_iters, tol, alpha, method, refine_iters, solver)
     if mode == "vjp":
         return _make_solve_conic_vjp(*key)(cp)
     elif mode == "jvp":
