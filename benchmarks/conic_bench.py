@@ -29,10 +29,15 @@ def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
     rng = np.random.default_rng(seed)
     k = n  # SOC dim n+1
     F = rng.normal(size=(B, k, n)).astype(np.float32)
+    # clamp F's spectrum to [1, 2]: a tiny sigma_min makes the optimum
+    # near-unbounded (||x*|| ~ 1e3-1e9), which f32 cannot resolve — those
+    # instances would benchmark divergence handling, not solves
+    U, S, Vt = np.linalg.svd(F, full_matrices=False)
+    F = (U * np.clip(S, 1.0, 2.0)[:, None, :]) @ Vt
+    F = F.astype(np.float32)
     g = rng.normal(size=(B, k)).astype(np.float32)
     e = rng.normal(size=(B, n)).astype(np.float32)
-    smin = np.linalg.svd(F, compute_uv=False)[:, -1]  # (B,)
-    e *= (0.5 * smin / np.maximum(np.linalg.norm(e, axis=1), 1e-30))[:, None]
+    e *= (0.5 / np.maximum(np.linalg.norm(e, axis=1), 1e-30))[:, None]
     f = np.linalg.norm(g, axis=1, keepdims=True) + 1.0
     c = rng.normal(size=(B, n)).astype(np.float32)
     # rows: (e'x + f, Fx - g) in SOC(k+1): A = -coeffs, b = const
@@ -54,7 +59,7 @@ def main():
     def loss(cp):
         sol = jax.vmap(
             lambda c: solve_conic(
-                c, max_iters=50, tol=1e-6, method="gram", solver="ipm"
+                c, max_iters=50, tol=1e-5, method="gram", solver="ipm"
             )
         )(cp)
         return jnp.sum(sol.x**2)

@@ -31,7 +31,7 @@ def main():
         n=n,
     )
 
-    B = 512
+    B = 4096  # amortize dispatch latency (same rationale as ../bench.py)
     p_batch = jnp.asarray(rng.normal(size=(B, n + nc)).astype(np.float32))
     dp = jnp.asarray(rng.normal(size=(B, n + nc)).astype(np.float32))
 

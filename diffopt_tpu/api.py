@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .ir import QPSolution, QPTangent, QuadProgram
+from .utils.precision import full_precision
 from .ops import kkt, linalg
 from .ops.kkt import KKTSplit
 from .solvers import qp as qpsolver
@@ -47,6 +48,7 @@ class QPDiffContext:
     changing problem data (functional invalidation).
     """
 
+    @full_precision
     def __init__(
         self,
         qp: QuadProgram,
@@ -81,6 +83,7 @@ class QPDiffContext:
         self.differentiate_time_sec = time.perf_counter() - t0
         return out
 
+    @full_precision
     def forward(self, dqp: QPTangent) -> KKTSplit:
         """JVP with the cached factorization (reference
         ``forward_differentiate!`` on a warm cache)."""
@@ -102,6 +105,7 @@ class QPDiffContext:
 
         return self._timed(run)
 
+    @full_precision
     def reverse(
         self,
         dz: Array,
@@ -135,6 +139,7 @@ class ConicDiffContext:
     residual-map gram factorization, differentiate repeatedly (the
     reference's conic ``gradient_cache``, ``ConicProgram.jl:172-175``)."""
 
+    @full_precision
     def __init__(
         self,
         cp,
@@ -164,7 +169,9 @@ class ConicDiffContext:
         N = M.shape[-1]
         delta = 1e-12 if dt == jnp.float64 else 1e-6
         self._M = M
-        G = jnp.swapaxes(M, -1, -2) @ M + delta * jnp.eye(N, dtype=dt)
+        G = jnp.swapaxes(M, -1, -2) @ M
+        scale = jnp.einsum("...ii->...", G)[..., None, None] / N
+        G = G + delta * (1.0 + scale) * jnp.eye(N, dtype=dt)
         self._lu = jax.scipy.linalg.lu_factor(G)
         self.differentiate_time_sec = float("nan")
         self._factor_time_sec = time.perf_counter() - t0
@@ -191,6 +198,7 @@ class ConicDiffContext:
             x = x + gsolve(rhs - jnp.einsum("...ij,...j->...i", M, x))
         return x
 
+    @full_precision
     def forward(self, dcp):
         from . import conic_diff as cd
         from .cones import pi as _pi
@@ -223,6 +231,7 @@ class ConicDiffContext:
 
         return self._timed(run)
 
+    @full_precision
     def reverse(self, dx, dy=None, ds=None):
         from . import conic_diff as cd
 

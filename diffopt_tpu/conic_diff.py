@@ -37,6 +37,7 @@ from . import cones as _cones
 from .cones import ConeSpec
 from .ir import ConeProgram, ConeSolution, ConeTangent
 from .ops import linalg
+from .utils.precision import full_precision
 
 Array = jax.Array
 
@@ -47,6 +48,7 @@ class ConeForward(NamedTuple):
     ds: Array
 
 
+@full_precision
 def residual_matrix(cp: ConeProgram, sol: ConeSolution) -> Array:
     """Materialize M (the reference's gradient cache, ``ConicProgram.jl:
     243-247``)."""
@@ -132,9 +134,14 @@ def _solve_system(
 
         dt = M.dtype
         N = M.shape[-1]
-        delta = 1e-12 if dt == jnp.float64 else 1e-6
+        # ridge must sit above the rounding noise of forming M'M
+        # (~||M||^2 eps), else the f32 Cholesky can meet a negative pivot
+        # (NaN); scale-relative, and refinement absorbs the bias
+        delta0 = 1e-12 if dt == jnp.float64 else 1e-6
         Mt = jnp.swapaxes(M, -1, -2)
-        G = Mt @ M + delta * jnp.eye(N, dtype=dt)
+        G = Mt @ M
+        scale = jnp.einsum("...ii->...", G)[..., None, None] / N
+        G = G + delta0 * (1.0 + scale) * jnp.eye(N, dtype=dt)
         L = chol(G)
 
         def gsolve(r):
@@ -148,6 +155,7 @@ def _solve_system(
     return _solve_M(M, rhs, method, refine_iters)
 
 
+@full_precision
 def forward_differentiate(
     cp: ConeProgram,
     sol: ConeSolution,
@@ -181,6 +189,7 @@ def forward_differentiate(
     return ConeForward(dx=dx, dy=dy, ds=ds)
 
 
+@full_precision
 def reverse_differentiate(
     cp: ConeProgram,
     sol: ConeSolution,

@@ -44,6 +44,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+from .utils.precision import full_precision
 
 Array = jax.Array
 
@@ -142,6 +143,7 @@ def _derivatives(nlp: NLPProblem, sol: NLPSolution, p: Array):
     return W, Wxp, Jx, Jp
 
 
+@full_precision
 def build_sensitivity_system(nlp: NLPProblem, sol: NLPSolution, p: Array):
     """Assemble (M, N) exactly as ``nlp_utilities.jl:286-396``.
 
@@ -295,6 +297,7 @@ def _extract(nlp: NLPProblem, layout: dict, ds: Array, singular: Array) -> NLPFo
     return NLPForward(dx=dx, dy=dy, dzL=dzL, dzU=dzU, singular=singular)
 
 
+@full_precision
 def forward_differentiate(
     nlp: NLPProblem, sol: NLPSolution, p: Array, dp: Array, factorization=None
 ) -> NLPForward:
@@ -315,6 +318,7 @@ def forward_differentiate(
     return _extract(nlp, layout, ds, sing)
 
 
+@full_precision
 def solution_jacobian(
     nlp: NLPProblem, sol: NLPSolution, p: Array, factorization=None
 ) -> NLPForward:
@@ -329,6 +333,7 @@ def solution_jacobian(
     return _extract(nlp, layout, ds, sing)
 
 
+@full_precision
 def reverse_differentiate(
     nlp: NLPProblem,
     sol: NLPSolution,

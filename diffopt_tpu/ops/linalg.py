@@ -22,6 +22,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import full_precision
 
 Array = jax.Array
 
@@ -90,6 +91,7 @@ def refine(M: Array, rhs: Array, x: Array, solve_fn, iters: int = 2) -> Array:
     return x
 
 
+@full_precision
 def solve(
     M: Array,
     rhs: Array,

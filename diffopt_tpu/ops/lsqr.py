@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from ..utils.precision import full_precision
 
 Array = jax.Array
 
@@ -51,6 +52,7 @@ def _normalize(v: Array) -> Tuple[Array, Array]:
     return v / safe, n
 
 
+@full_precision
 def lsqr(
     matvec: Callable[[Array], Array],
     rmatvec: Callable[[Array], Array],
@@ -123,6 +125,7 @@ def lsqr(
     )
 
 
+@full_precision
 def lsqr_dense(M: Array, b: Array, **kw) -> LSQRResult:
     """LSQR on a materialized matrix (drop-in for the reference's
     ``lsqr(M, rhs)`` calls)."""

@@ -160,14 +160,43 @@ def _pdip_kernel(
         return dz, dnu, dlam, ds
 
     def residuals(z, nu, lam, s):
-        rd = mv(Q, z) + q
+        """Residuals plus per-lane scale factors for RELATIVE termination:
+        for instances whose data/solution scale is large, absolute residuals
+        cannot reach tol in f32 — the relative criterion is the honest one
+        (same treatment as solvers/conic_ipm.py)."""
+        Qz = mv(Q, z)
+        rd = Qz + q
+        dscale = jnp.maximum(jnp.max(jnp.abs(Qz), axis=0), jnp.max(jnp.abs(q), axis=0))
         if m:
-            rd = rd + rmv(G, lam)
+            Gl = rmv(G, lam)
+            rd = rd + Gl
+            dscale = jnp.maximum(dscale, jnp.max(jnp.abs(Gl), axis=0))
         if p:
-            rd = rd + rmv(A, nu)
-        rpe = mv(A, z) - b if p else jnp.zeros((p, LANE), dt)
-        rpi = mv(G, z) + s - h if m else jnp.zeros((m, LANE), dt)
-        return rd, rpe, rpi
+            An = rmv(A, nu)
+            rd = rd + An
+            dscale = jnp.maximum(dscale, jnp.max(jnp.abs(An), axis=0))
+        pscale = jnp.zeros((LANE,), dt)
+        if p:
+            Az = mv(A, z)
+            rpe = Az - b
+            pscale = jnp.maximum(
+                jnp.max(jnp.abs(Az), axis=0), jnp.max(jnp.abs(b), axis=0)
+            )
+        else:
+            rpe = jnp.zeros((p, LANE), dt)
+        if m:
+            Gz = mv(G, z)
+            rpi = Gz + s - h
+            pscale = jnp.maximum(
+                pscale,
+                jnp.maximum(
+                    jnp.max(jnp.abs(Gz), axis=0), jnp.max(jnp.abs(h), axis=0)
+                ),
+            )
+        else:
+            rpi = jnp.zeros((m, LANE), dt)
+        pobj = 0.5 * jnp.sum(z * Qz, axis=0) + jnp.sum(q * z, axis=0)
+        return rd, rpe, rpi, 1.0 + dscale, 1.0 + pscale, 1.0 + jnp.abs(pobj)
 
     def step_len(v, dv, frac):
         ratio = jnp.where(dv < 0, -v / dv, jnp.inf)
@@ -177,7 +206,7 @@ def _pdip_kernel(
     # ---- init (same as solvers/qp.py) -------------------------------------
     ones_m = jnp.ones((m, LANE), dt)
     Lh0, Ls0 = factor(ones_m, ones_m) if m else factor(None, None)
-    rd0, rpe0, rpi0 = residuals(
+    rd0, rpe0, rpi0, *_ = residuals(
         jnp.zeros((n, LANE), dt), jnp.zeros((p, LANE), dt), ones_m * 0, ones_m * 0
     )
     dz0, dnu0, _, _ = solve_dir(Lh0, Ls0, rd0, rpe0, rpi0, -ones_m, ones_m, ones_m)
@@ -193,8 +222,8 @@ def _pdip_kernel(
         lam = jnp.zeros((m, LANE), dt)
 
     def body(carry):
-        it, z, nu, lam, s, _ = carry
-        rd, rpe, rpi = residuals(z, nu, lam, s)
+        it, z, nu, lam, s, zb, nub, lamb, sb, errb, _ = carry
+        rd, rpe, rpi, dscale, pscale, gscale = residuals(z, nu, lam, s)
         if m:
             mu = jnp.sum(s * lam, axis=0) / m  # (LANE,)
         else:
@@ -216,10 +245,22 @@ def _pdip_kernel(
             alpha = jnp.minimum(step_len(s, ds, 0.99), step_len(lam, dlam, 0.99))
         else:
             alpha = jnp.ones((LANE,), dt)
-        # per-lane freeze: converged or non-finite lanes take zero steps
-        pres = jnp.max(jnp.abs(rpe), axis=0) + jnp.max(jnp.abs(rpi), axis=0)
-        dres = jnp.max(jnp.abs(rd), axis=0)
-        done = (pres < tol) & (dres < tol) & (mu < tol)
+        # per-lane freeze: converged or non-finite lanes take zero steps;
+        # termination is scale-RELATIVE (cf. solvers/conic_ipm.py): absolute
+        # residuals are unreachable in f32 once data/solution scales are large
+        pres = (
+            jnp.max(jnp.abs(rpe), axis=0) + jnp.max(jnp.abs(rpi), axis=0)
+        ) / pscale
+        dres = jnp.max(jnp.abs(rd), axis=0) / dscale
+        gaprel = mu * m / gscale
+        done = (pres < tol) & (dres < tol) & (gaprel < tol)
+        # best-iterate tracking: oscillating lanes (stuck at the f32 floor)
+        # would otherwise export whatever state iteration `iters` left
+        err = jnp.maximum(jnp.maximum(pres, dres), gaprel)
+        better = err < errb
+        sel = lambda new, old: jnp.where(better[None, :], new, old)
+        zb, nub, lamb, sb = sel(z, zb), sel(nu, nub), sel(lam, lamb), sel(s, sb)
+        errb = jnp.where(better, err, errb)
         finite = (
             jnp.all(jnp.isfinite(dz), axis=0)
             & jnp.all(jnp.isfinite(dnu), axis=0)
@@ -235,19 +276,37 @@ def _pdip_kernel(
         # while_loop below stops — on well-conditioned batches typical
         # convergence is ~12-16 iterations, so this saves the fixed-25 tail
         alldone = jnp.all(done | ~finite)
-        return (it + 1, upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds), alldone)
+        return (
+            it + 1, upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds),
+            zb, nub, lamb, sb, errb, alldone,
+        )
 
     def cond(carry):
         it, *_, alldone = carry
         return (it < iters) & ~alldone
 
-    _, z, nu, lam, s, _ = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), z, nu, lam, s, jnp.zeros((), jnp.bool_))
+    big = jnp.full((LANE,), 1e30, dt)
+    _, z, nu, lam, s, zb, nub, lamb, sb, errb, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((), jnp.int32), z, nu, lam, s,
+            z, nu, lam, s, big, jnp.zeros((), jnp.bool_),
+        ),
     )
-    z_ref[:] = z
-    lam_ref[:] = lam
-    nu_ref[:] = nu
-    s_ref[:] = s
+    # the exit state never got a best-update inside the loop: score it once
+    rd, rpe, rpi, dscale, pscale, gscale = residuals(z, nu, lam, s)
+    mu = jnp.sum(s * lam, axis=0) / m if m else jnp.zeros((LANE,), dt)
+    pres = (jnp.max(jnp.abs(rpe), axis=0) + jnp.max(jnp.abs(rpi), axis=0)) / pscale
+    dres = jnp.max(jnp.abs(rd), axis=0) / dscale
+    err = jnp.maximum(jnp.maximum(pres, dres), mu * m / gscale)
+    fin = jnp.all(jnp.isfinite(z), axis=0) & jnp.all(jnp.isfinite(lam), axis=0)
+    better = (err < errb) & fin
+    sel = lambda new, old: jnp.where(better[None, :], new, old)
+    z_ref[:] = sel(z, zb)
+    lam_ref[:] = sel(lam, lamb)
+    nu_ref[:] = sel(nu, nub)
+    s_ref[:] = sel(s, sb)
 
 
 def solve_batched_fused(

@@ -27,10 +27,12 @@ import jax.numpy as jnp
 
 from ..ir import _pytree_dataclass
 from ..ops.pallas.dispatch import ldl_factor, ldl_solve
+from ..utils.precision import full_precision
 
 Array = jax.Array
 
 
+@full_precision
 def schur_arrow_solve(
     Kloc: Array,
     C: Array,
@@ -147,6 +149,7 @@ def _scenario_kkt_blocks(ts: TwoStageQP, sol: TwoStageSolution, lam_floor, reg):
     return K, C, K0, lam_e
 
 
+@full_precision
 def two_stage_forward_sensitivity(
     ts: TwoStageQP,
     sol: TwoStageSolution,
@@ -200,6 +203,7 @@ def two_stage_forward_sensitivity(
     return TwoStageSolution(xs=dxs, lams=dlams, nus=dnus, z=dz)
 
 
+@full_precision
 def two_stage_reverse_sensitivity(
     ts: TwoStageQP,
     sol: TwoStageSolution,
@@ -261,6 +265,7 @@ class TwoStageSolveInfo(NamedTuple):
     converged: Array
 
 
+@full_precision
 def solve_two_stage(
     ts: TwoStageQP,
     *,

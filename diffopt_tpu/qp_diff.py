@@ -23,6 +23,7 @@ import numpy as np
 from .ir import QPSolution, QPTangent, QuadProgram
 from .ops import kkt
 from .ops.kkt import KKTSplit
+from .utils.precision import full_precision
 
 Array = jax.Array
 
@@ -40,6 +41,7 @@ def _resolve_method(qp: QuadProgram, method: str) -> str:
         return "lu"
 
 
+@full_precision
 def forward_differentiate(
     qp: QuadProgram,
     sol: QPSolution,
@@ -55,6 +57,7 @@ def forward_differentiate(
     )
 
 
+@full_precision
 def reverse_differentiate(
     qp: QuadProgram,
     sol: QPSolution,

@@ -214,12 +214,18 @@ def solve_conic(
 
 
 @lru_cache(maxsize=None)
-def _make_solve_qp_batched_vjp(max_iters, method, refine_iters):
+def _make_solve_qp_batched_vjp(max_iters, method, refine_iters, polish):
     from .ops.pallas.pdip import solve_batched_fused
 
     @jax.custom_vjp
     def _solve(qp: QuadProgram) -> QPSolution:
-        return solve_batched_fused(qp, max_iters=max_iters)
+        sol = solve_batched_fused(qp, max_iters=max_iters)
+        if polish:
+            # active-set polish (ops/kkt.py): removes the f32 sqrt(eps)
+            # complementarity floor from the KKT point, which otherwise
+            # dominates gradient error on near-degenerate instances
+            sol = jax.vmap(lambda q, s: kkt.qp_polish(q, s))(qp, sol)
+        return sol
 
     def _fwd(qp):
         sol = _solve(qp)
@@ -248,8 +254,10 @@ def solve_qp_batched(
     max_iters: int = 25,
     method: str = "ldl",
     refine_iters: int = 2,
+    polish: bool = True,
 ) -> QPSolution:
     """Solve a leading-dim batch of QPs with the fused single-kernel PDIP
-    (``ops/pallas/pdip.py``) and differentiate through the Pallas LDL' KKT
-    path. The highest-throughput entry point (BASELINE config 2)."""
-    return _make_solve_qp_batched_vjp(max_iters, method, refine_iters)(qp)
+    (``ops/pallas/pdip.py``), active-set polish the KKT points, and
+    differentiate through the Pallas LDL' KKT path. The highest-throughput
+    entry point (BASELINE config 2)."""
+    return _make_solve_qp_batched_vjp(max_iters, method, refine_iters, polish)(qp)

@@ -137,6 +137,25 @@ def solve(
     on the ORIGINAL data. Off by default: without SCS's sigma/rho step-size
     tuning it often slows DR convergence (measured); useful escape hatch for
     pathologically scaled data."""
+    # TPU XLA matmuls default to bf16 inputs; the DR fixed-point map is one
+    # matmul per iteration and its residual checks need real f32
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(
+            cp, max_iters=max_iters, tol=tol, alpha=alpha,
+            check_every=check_every, equilibrate=equilibrate, accel=accel,
+        )
+
+
+def _solve_impl(
+    cp: ConeProgram,
+    *,
+    max_iters: int,
+    tol: float,
+    alpha: float,
+    check_every: int,
+    equilibrate: bool,
+    accel: bool,
+) -> Tuple[ConeSolution, ConicSolveInfo]:
     if equilibrate:
         D, E = _ruiz_scales(cp)
         cp_s = ConeProgram(

@@ -272,6 +272,29 @@ def solve(
     :func:`solve_batched`). Raises ``ValueError`` at trace time for cone
     kinds outside {zero, nonneg, nonpos, soc, rsoc} — use the DR solver
     (``solvers/conic.py``) for exp/pow/psd blocks."""
+    # TPU XLA matmuls default to bf16 inputs; an interior point method's
+    # residuals and Newton systems need real f32 (the Pallas LDL' kernel is
+    # f32 VPU arithmetic already — this covers the surrounding jnp matmuls)
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(
+            cp,
+            max_iters=max_iters,
+            tol=tol,
+            reg=reg,
+            refine_iters=refine_iters,
+            step_frac=step_frac,
+        )
+
+
+def _solve_impl(
+    cp: ConeProgram,
+    *,
+    max_iters: int,
+    tol: float | None,
+    reg: float | None,
+    refine_iters: int | None,
+    step_frac: float,
+) -> Tuple[ConeSolution, ConicSolveInfo]:
     if not supports(cp.cones):
         raise ValueError(
             "conic_ipm supports zero/nonneg/nonpos/soc/rsoc blocks only; "
@@ -425,6 +448,24 @@ def solve(
     s = jnp.concatenate(parts) if mC else s0
     yC = e
 
+    def metrics(x, yE, yC, s, rd, rpE, rpC):
+        """SCS-style scale-relative termination metrics: for instances whose
+        optimal solution is large (||x|| >> ||b||), absolute residuals cannot
+        reach eps*||b|| in f32 — relative-to-iterate normalization is the
+        honest (and standard) criterion."""
+        Ax_sc = jnp.maximum(
+            jnp.linalg.norm(jnp.concatenate([rpE, rpC]) - jnp.concatenate(
+                [jnp.zeros((p,), dt), s]) + b),  # = ||A x||
+            jnp.maximum(jnp.linalg.norm(s), jnp.linalg.norm(b)),
+        )
+        pres = jnp.sqrt(jnp.sum(rpE**2) + jnp.sum(rpC**2)) / (1.0 + Ax_sc)
+        Aty_sc = jnp.maximum(jnp.linalg.norm(rd - c), jnp.linalg.norm(c))
+        dres = jnp.linalg.norm(rd) / (1.0 + Aty_sc)
+        pobj = jnp.dot(c, x)
+        dobj = -(jnp.dot(bE, yE) + jnp.dot(bC, yC))
+        gaprel = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return pres, dres, gaprel
+
     def cond(st: _State):
         return jnp.logical_and(st.it < max_iters, jnp.logical_not(st.done))
 
@@ -435,12 +476,9 @@ def solve(
 
         # convergence is tested BEFORE stepping: a converged iterate must not
         # take one more (numerically garbage once mu ~ f32 eps) step
-        pres = jnp.sqrt(jnp.sum(rpE**2) + jnp.sum(rpC**2)) / (
-            1.0 + jnp.linalg.norm(b)
-        )
-        dres = jnp.linalg.norm(rd) / (1.0 + jnp.linalg.norm(c))
+        pres, dres, gaprel = metrics(x, yE, yC, s, rd, rpE, rpC)
         done_now = jnp.logical_and(
-            pres < tol, jnp.logical_and(dres < tol, mu < tol)
+            pres < tol, jnp.logical_and(dres < tol, gaprel < tol)
         )
 
         sc = _nt_scaling(l, soc_dims, s, yC)
@@ -484,12 +522,11 @@ def solve(
     st = jax.lax.while_loop(cond, body, st0)
 
     rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
-    pres = jnp.sqrt(jnp.sum(rpE**2) + jnp.sum(rpC**2)) / (1.0 + jnp.linalg.norm(b))
-    dres = jnp.linalg.norm(rd) / (1.0 + jnp.linalg.norm(c))
+    pres, dres, gaprel = metrics(st.x, st.yE, st.yC, st.s, rd, rpE, rpC)
     gap = jnp.dot(st.s, st.yC)
     conv = jnp.logical_and(
         pres < 10 * tol,
-        jnp.logical_and(dres < 10 * tol, gap / nu_deg < 100 * tol),
+        jnp.logical_and(dres < 10 * tol, gaprel < 10 * tol),
     )
     # map back to the original row order: y = R' y_int, s = R' s_int
     y_int = jnp.concatenate([st.yE, st.yC])

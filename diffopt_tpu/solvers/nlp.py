@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..nlp_diff import NLPProblem, NLPSolution
+from ..utils.precision import full_precision
 
 Array = jax.Array
 
@@ -58,6 +59,7 @@ class _State(NamedTuple):
     done: Array
 
 
+@full_precision
 def solve(
     nlp: NLPProblem,
     p: Array,

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 
 from ..ir import QPSolution, QuadProgram
 from ..ops.pallas.dispatch import chol, chol_solve
+from ..utils.precision import full_precision
 
 Array = jax.Array
 
@@ -53,6 +54,7 @@ def _sym_solve(K: Array, rhs: Array) -> Array:
     return jnp.linalg.solve(K, rhs[..., None])[..., 0]
 
 
+@full_precision
 def solve(
     qp: QuadProgram,
     *,

@@ -67,3 +67,33 @@ def test_fused_vjp_matches_staged_grad():
             atol=5e-5,
             err_msg=name,
         )
+
+
+def test_active_set_polish_reduces_kkt_residual():
+    """qp_polish removes the complementarity floor from an inexact solve
+    (the f32-accuracy mechanism; exercised here in f64 with a loose tol)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from diffopt_tpu.ir import QuadProgram
+    from diffopt_tpu.ops import kkt
+    from diffopt_tpu.solvers import qp as qpsolver
+
+    rng = np.random.default_rng(7)
+    B, n, m, p = 8, 10, 6, 3
+    L = rng.normal(size=(B, n, n))
+    qp = QuadProgram(
+        Q=jnp.asarray(L @ np.swapaxes(L, 1, 2) + n * np.eye(n)),
+        q=jnp.asarray(rng.normal(size=(B, n))),
+        A=jnp.asarray(rng.normal(size=(B, p, n))),
+        b=jnp.asarray(rng.normal(size=(B, p))),
+        G=jnp.asarray(rng.normal(size=(B, m, n))),
+        h=jnp.asarray(rng.normal(size=(B, m)) + 2.0),
+    )
+    sol, _ = qpsolver.solve_batched(qp, tol=1e-4)  # deliberately loose
+    pol = jax.vmap(lambda q, s: kkt.qp_polish(q, s))(qp, sol)
+    res_old = jnp.max(jnp.abs(jax.vmap(kkt.kkt_residual)(qp, sol)), axis=-1)
+    res_new = jnp.max(jnp.abs(jax.vmap(kkt.kkt_residual)(qp, pol)), axis=-1)
+    assert bool(jnp.all(res_new <= res_old))
+    assert float(jnp.median(res_new)) < 1e-2 * float(jnp.median(res_old))
+    assert bool(jnp.all(pol.lam >= 0.0))
