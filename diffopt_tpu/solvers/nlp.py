@@ -186,7 +186,18 @@ def solve(
                 [[Wt, J.T], [J, -reg * jnp.eye(nc, dtype=dt)]]
             )
             rhs = jnp.concatenate([rhs_w, -r_feas])
-            d = jnp.linalg.solve(K, rhs[:, None])[:, 0]
+            if len_w + nc <= 128:
+                # symmetric quasi-definite once the Levenberg shift makes Wt
+                # PD (backtracking rejects + grows lm otherwise): batched
+                # Pallas LDL' instead of XLA's slow batched LU, one
+                # refinement pass to absorb borderline pivots
+                from ..ops.pallas.dispatch import ldl_factor, ldl_solve
+
+                L, dvec = ldl_factor(K)
+                d = ldl_solve(L, dvec, rhs)
+                d = d + ldl_solve(L, dvec, rhs - K @ d)
+            else:
+                d = jnp.linalg.solve(K, rhs[:, None])[:, 0]
             dw, dy = d[:len_w], d[len_w:]
         else:
             dw = jnp.linalg.solve(Wt, rhs_w[:, None])[:, 0]
