@@ -51,17 +51,14 @@ def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
 
 
 def main():
-    from diffopt_tpu import solve_conic
+    from diffopt_tpu import solve_conic_batched
 
     B = 8192  # amortize dispatch latency (same rationale as ../bench.py)
     cp = make_socp_batch(B)
 
     def loss(cp):
-        sol = jax.vmap(
-            lambda c: solve_conic(
-                c, max_iters=50, tol=1e-5, method="gram", solver="ipm"
-            )
-        )(cp)
+        # fused single-kernel IPM + Pallas gram VJP
+        sol = solve_conic_batched(cp, max_iters=50, tol=1e-5, method="gram")
         return jnp.sum(sol.x**2)
 
     step = jax.jit(jax.value_and_grad(loss))

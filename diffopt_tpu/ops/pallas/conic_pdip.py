@@ -1,0 +1,532 @@
+"""Fully-fused batched symmetric-cone IPM as a single Pallas TPU kernel.
+
+The XLA-level conic IPM (``solvers/conic_ipm.py``) round-trips HBM between
+every NT-scaling / KKT-assembly / LDL' / step-length stage, and a ``vmap``-ed
+``while_loop`` synchronizes the WHOLE batch on its slowest instance. This
+kernel keeps a 128-instance tile's problem (A, b, c) and iterate state
+resident in VMEM for all interior-point iterations and early-exits per tile —
+the same speed-of-light design as the fused QP PDIP (``pdip.py``), applied to
+BASELINE config 3's SOCP workload.
+
+Scope: internal layout ``[zero(p) | nonneg(l) | soc(d_1)...soc(d_k)]`` —
+the caller (``solvers/conic_ipm.solve_batched_fused``) applies the static
+orthogonal row transform R (nonpos negation, rsoc rotation) on the host.
+Math is identical to ``solvers/conic_ipm.py``: NT-scaled Mehrotra
+predictor-corrector, quasi-definite LDL' Newton systems (value-semantics,
+unrolled — no scatter), scale-relative termination, per-lane freeze and
+best-iterate tracking.
+
+Layout: batch-along-lanes — operands ``(rows, cols, LANE)``/``(rows, LANE)``
+with the batch on the 128-wide lane axis (see ``pdip.py``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+LANE = 128
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# --- value-semantics LDL' on (N, N, LANE) -----------------------------------
+
+
+def _ldl_value(Kv, nn):
+    """Unpivoted LDL' of a quasi-definite (nn, nn, LANE) value (Vanderbei).
+    Shrinking-submatrix form: no scatter, only slices and concats
+    (cf. ``pdip._chol_value``). Returns unit-lower L and diagonal d."""
+    a = Kv
+    cols, ds = [], []
+    lane = Kv.shape[-1]
+    for j in range(nn):
+        dj = a[0, 0, :]  # (LANE,)
+        ds.append(dj)
+        col = a[:, 0, :] / dj[None, :]  # (nn-j, LANE), unit at row 0
+        cols.append(col)
+        if j + 1 < nn:
+            sub = col[1:]
+            a = a[1:, 1:, :] - sub[:, None, :] * sub[None, :, :] * dj[None, None, :]
+    parts = []
+    for j in range(nn):
+        full = cols[j]
+        if j:
+            full = jnp.concatenate(
+                [jnp.zeros((j, lane), Kv.dtype), full], axis=0
+            )
+        parts.append(full[:, None, :])
+    return jnp.concatenate(parts, axis=1), jnp.stack(ds, axis=0)
+
+
+def _ldl_solve_value(L, d, rhs, nn):
+    """Solve L D L' x = rhs for rhs (nn, LANE) values (unit-lower L).
+
+    Substitution sums carry a 3D (rows, 1, LANE) operand: Mosaic rejects 2D
+    multi_reductions whose reduced dimension has a nonzero sublane offset
+    (sliced L columns), while the 3D form lowers — same discipline as
+    ``pdip._chol_solve_value``."""
+    ys = []
+    for j in range(nn):
+        acc = rhs[j][None, :]  # (1, LANE)
+        if j > 0:
+            Y = jnp.stack(ys, axis=0)  # (j, 1, LANE)
+            lrow = L[j, :j, :]  # (j, LANE)
+            acc = acc - jnp.sum(lrow[:, None, :] * Y, axis=0)
+        ys.append(acc)
+    xs = [None] * nn
+    for j in range(nn - 1, -1, -1):
+        acc = ys[j] / d[j][None, :]
+        if j + 1 < nn:
+            X = jnp.stack(xs[j + 1 :], axis=0)  # (nn-j-1, 1, LANE)
+            lcol = L[j + 1 :, j, :]
+            acc = acc - jnp.sum(lcol[:, None, :] * X, axis=0)
+        xs[j] = acc
+    return jnp.concatenate(xs, axis=0)
+
+
+# --- lane-aware Jordan / NT helpers on (mC, LANE) values ---------------------
+
+
+def _soc_slices(l, soc_dims):
+    out = []
+    off = l
+    for d in soc_dims:
+        out.append(slice(off, off + d))
+        off += d
+    return out
+
+
+def _J(u):
+    return jnp.concatenate([u[:1], -u[1:]], axis=0)
+
+
+def _jdet_sqrt(u, eps):
+    nu1 = jnp.sqrt(jnp.sum(u[1:] ** 2, axis=0))  # (LANE,)
+    det = (u[0] - nu1) * (u[0] + nu1)
+    return jnp.sqrt(jnp.maximum(det, eps * u[0] ** 2))
+
+
+def _kernel(dims, socs, iters, tol, reg, eps, *refs):
+    n, p, l = dims
+    if p:
+        (c_ref, bE_ref, bC_ref, AE_ref, AC_ref,
+         x_ref, yE_ref, yC_ref, s_ref, it_ref, err_ref) = refs
+    else:
+        # zero-sized blocks don't map to TPU kernel operands (cf. pdip.py);
+        # equality-free programs omit bE/AE/yE entirely and carry a (1, LANE)
+        # dummy in their place inside the loop state
+        (c_ref, bC_ref, AC_ref,
+         x_ref, yC_ref, s_ref, it_ref, err_ref) = refs
+        bE_ref = AE_ref = yE_ref = None
+    soc_dims = socs
+    mC = l + sum(soc_dims)
+    N = n + p + mC
+    dt = c_ref.dtype
+    c = c_ref[:]
+    bC = bC_ref[:]
+    AC = AC_ref[:]  # (mC, n, LANE)
+    bE = bE_ref[:] if p else None
+    AE = AE_ref[:] if p else None
+    slices = _soc_slices(l, soc_dims)
+    nu_deg = max(l + len(soc_dims), 1)
+
+    def mv(M, v):  # (r, n, L) x (n, L) -> (r, L)
+        return jnp.sum(M * v[None, :, :], axis=1)
+
+    def rmv(M, v):  # M' v: (r, n, L), (r, L) -> (n, L)
+        return jnp.sum(M * v[:, None, :], axis=0)
+
+    # identity element of the C-block cone
+    e_parts = [jnp.ones((l, LANE), dt)] if l else []
+    for d_ in soc_dims:
+        e_parts.append(
+            jnp.concatenate(
+                [jnp.ones((1, LANE), dt), jnp.zeros((d_ - 1, LANE), dt)], axis=0
+            )
+        )
+    e = jnp.concatenate(e_parts, axis=0)
+
+    def nt_scaling(s, y):
+        """Returns (w (l,L) or None, [(eta (L,), v (d,L), wb (d,L))...])."""
+        w = jnp.sqrt(s[:l] / y[:l]) if l else None
+        blocks = []
+        for sl in slices:
+            sb_, yb_ = s[sl], y[sl]
+            rs = _jdet_sqrt(sb_, eps)
+            ry = _jdet_sqrt(yb_, eps)
+            sb = sb_ / rs[None, :]
+            yb = yb_ / ry[None, :]
+            gamma = jnp.sqrt(
+                jnp.maximum((1.0 + jnp.sum(sb * yb, axis=0)) / 2.0, eps)
+            )
+            wb = (sb + _J(yb)) / (2.0 * gamma)[None, :]
+            head = wb[:1] + 1.0
+            v = jnp.concatenate([head, wb[1:]], axis=0) / jnp.sqrt(
+                2.0 * jnp.maximum(wb[0] + 1.0, eps)
+            )[None, :]
+            blocks.append((jnp.sqrt(rs / ry), v, wb))
+        return w, blocks
+
+    def W_apply(sc, u, inv):
+        w, blocks = sc
+        parts = [u[:l] / w if inv else u[:l] * w] if l else []
+        for sl, (eta, v, _) in zip(slices, blocks):
+            ub = u[sl]
+            if inv:
+                # Wbar^-1 u = J Wbar J u = 2 (Jv)(v'Ju) - Ju
+                ju = _J(ub)
+                vju = jnp.sum(v * ju, axis=0)  # (LANE,)
+                out = 2.0 * _J(v) * vju[None, :] - ju
+                parts.append(out / eta[None, :])
+            else:
+                vu = jnp.sum(v * ub, axis=0)
+                out = 2.0 * v * vu[None, :] - _J(ub)
+                parts.append(out * eta[None, :])
+        return jnp.concatenate(parts, axis=0)
+
+    def w2_rows(sc):
+        """W^2 as a dense (mC, mC, LANE) block-diagonal value:
+        diag(w^2) and eta^2 (2 wb wb' - J) per soc block (the CVXOPT
+        identity (2vv'-J)^2 = 2 wb wb' - J, verified numerically)."""
+        w, blocks = sc
+        rows = []
+        if l:
+            diag = jnp.eye(l, dtype=dt)[:, :, None] * (w * w)[:, None, :]
+            rows.append(
+                jnp.concatenate([diag, jnp.zeros((l, mC - l, LANE), dt)], axis=1)
+                if mC > l
+                else diag
+            )
+        off = l
+        for d_, (eta, _, wb) in zip(soc_dims, blocks):
+            Jd = jnp.diag(
+                jnp.concatenate([jnp.ones((1,)), -jnp.ones((d_ - 1,))])
+            ).astype(dt)[:, :, None]
+            blk = (2.0 * wb[:, None, :] * wb[None, :, :] - Jd) * (eta * eta)[
+                None, None, :
+            ]
+            pieces = []
+            if off:
+                pieces.append(jnp.zeros((d_, off, LANE), dt))
+            pieces.append(blk)
+            if mC - off - d_:
+                pieces.append(jnp.zeros((d_, mC - off - d_, LANE), dt))
+            rows.append(jnp.concatenate(pieces, axis=1) if len(pieces) > 1 else blk)
+            off += d_
+        return jnp.concatenate(rows, axis=0)
+
+    def jmul(u, v):
+        parts = [u[:l] * v[:l]] if l else []
+        for sl in slices:
+            ub, vb = u[sl], v[sl]
+            head = jnp.sum(ub * vb, axis=0, keepdims=True)
+            tail = ub[:1] * vb[1:] + vb[:1] * ub[1:]
+            parts.append(jnp.concatenate([head, tail], axis=0))
+        return jnp.concatenate(parts, axis=0)
+
+    def jsolve(lam, d):
+        parts = [d[:l] / lam[:l]] if l else []
+        for sl in slices:
+            lb, db = lam[sl], d[sl]
+            nl1 = jnp.sqrt(jnp.sum(lb[1:] ** 2, axis=0))
+            det = (lb[0] - nl1) * (lb[0] + nl1)
+            det = jnp.where(jnp.abs(det) > eps * lb[0] ** 2, det, eps * lb[0] ** 2)
+            g0 = (lb[0] * db[0] - jnp.sum(lb[1:] * db[1:], axis=0)) / det
+            g1 = (db[1:] - lb[1:] * g0[None, :]) / lb[0][None, :]
+            parts.append(jnp.concatenate([g0[None, :], g1], axis=0))
+        return jnp.concatenate(parts, axis=0)
+
+    def max_step(u, du):
+        big = jnp.asarray(3.4e38, dt)
+        if l:
+            ratio = jnp.where(du[:l] < 0, -u[:l] / du[:l], big)
+            amax = jnp.min(ratio, axis=0)
+        else:
+            amax = jnp.full((LANE,), big, dt)
+        for sl in slices:
+            ub, db = u[sl], du[sl]
+            qa = db[0] ** 2 - jnp.sum(db[1:] ** 2, axis=0)
+            qb = 2.0 * (ub[0] * db[0] - jnp.sum(ub[1:] * db[1:], axis=0))
+            nu1 = jnp.sqrt(jnp.sum(ub[1:] ** 2, axis=0))
+            qc = jnp.maximum((ub[0] - nu1) * (ub[0] + nu1), 0.0)
+            disc = qb**2 - 4.0 * qa * qc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            safe_a = jnp.where(jnp.abs(qa) > 1e-30, qa, 1.0)
+            r1 = (-qb - sq) / (2.0 * safe_a)
+            r2 = (-qb + sq) / (2.0 * safe_a)
+            rlin = jnp.where(qb < 0, -qc / jnp.where(qb < 0, qb, 1.0), big)
+            quad = jnp.minimum(
+                jnp.where(r1 > 0, r1, big), jnp.where(r2 > 0, r2, big)
+            )
+            root = jnp.where(
+                jnp.abs(qa) > 1e-30, jnp.where(disc >= 0, quad, big), rlin
+            )
+            cap = jnp.where(db[0] < 0, -ub[0] / jnp.where(db[0] < 0, db[0], 1.0), big)
+            amax = jnp.minimum(amax, jnp.minimum(root, cap))
+        return jnp.minimum(1.0, amax)
+
+    def residuals(x, yE, yC, s):
+        rd = c + rmv(AC, yC)
+        if p:
+            rd = rd + rmv(AE, yE)
+        rpE = mv(AE, x) - bE if p else jnp.zeros((p, LANE), dt)
+        rpC = mv(AC, x) + s - bC
+        return rd, rpE, rpC
+
+    def metrics(x, yE, yC, s, rd, rpE, rpC):
+        """Scale-relative termination metrics (cf. solvers/conic_ipm.py)."""
+        AxC = rpC - s + bC
+        Ax_sc = jnp.max(jnp.abs(AxC), axis=0)
+        if p:
+            Ax_sc = jnp.maximum(Ax_sc, jnp.max(jnp.abs(rpE + bE), axis=0))
+            bnorm = jnp.maximum(
+                jnp.max(jnp.abs(bC), axis=0), jnp.max(jnp.abs(bE), axis=0)
+            )
+        else:
+            bnorm = jnp.max(jnp.abs(bC), axis=0)
+        psc = 1.0 + jnp.maximum(
+            Ax_sc, jnp.maximum(jnp.max(jnp.abs(s), axis=0), bnorm)
+        )
+        pres_abs = jnp.max(jnp.abs(rpC), axis=0)
+        if p:
+            pres_abs = jnp.maximum(pres_abs, jnp.max(jnp.abs(rpE), axis=0))
+        pres = pres_abs / psc
+        dsc = 1.0 + jnp.maximum(
+            jnp.max(jnp.abs(rd - c), axis=0), jnp.max(jnp.abs(c), axis=0)
+        )
+        dres = jnp.max(jnp.abs(rd), axis=0) / dsc
+        pobj = jnp.sum(c * x, axis=0)
+        dobj = -jnp.sum(bC * yC, axis=0)
+        if p:
+            dobj = dobj - jnp.sum(bE * yE, axis=0)
+        gaprel = jnp.abs(pobj - dobj) / (1.0 + jnp.abs(pobj) + jnp.abs(dobj))
+        return pres, dres, gaprel
+
+    def factor(sc):
+        W2 = w2_rows(sc)
+        eye_n = reg * jnp.eye(n, dtype=dt)[:, :, None] * jnp.ones((1, 1, LANE), dt)
+        ACt = jnp.swapaxes(AC, 0, 1)  # (n, mC, LANE)
+        if p:
+            AEt = jnp.swapaxes(AE, 0, 1)
+            top = jnp.concatenate([eye_n, AEt, ACt], axis=1)
+            eye_p = -reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones(
+                (1, 1, LANE), dt
+            )
+            mid = jnp.concatenate(
+                [AE, eye_p, jnp.zeros((p, mC, LANE), dt)], axis=1
+            )
+            bot = jnp.concatenate(
+                [AC, jnp.zeros((mC, p, LANE), dt), -W2], axis=1
+            )
+            K = jnp.concatenate([top, mid, bot], axis=0)
+        else:
+            top = jnp.concatenate([eye_n, ACt], axis=1)
+            bot = jnp.concatenate([AC, -W2], axis=1)
+            K = jnp.concatenate([top, bot], axis=0)
+        L, dv = _ldl_value(K, N)
+        return L, dv, K
+
+    def solve_dir(F, sc, rd, rpE, rpC, g):
+        L, dv, K = F
+        pieces = [-rd]
+        if p:
+            pieces.append(-rpE)
+        pieces.append(-rpC + W_apply(sc, g, inv=False))
+        rhs = jnp.concatenate(pieces, axis=0)
+        sol = _ldl_solve_value(L, dv, rhs, N)
+        # one refinement pass: the unpivoted LDL' divides by the tiny
+        # reg-block pivots, which in f32 costs ~half the digits of the
+        # direction (the XLA path refines too — without it the IPM needs
+        # ~2x the iterations and strands stragglers)
+        resid = rhs - jnp.sum(K * sol[None, :, :], axis=1)
+        sol = sol + _ldl_solve_value(L, dv, resid, N)
+        dx = sol[:n]
+        dyE = sol[n : n + p] if p else jnp.zeros((1, LANE), dt)
+        dyC = sol[n + p :]
+        ds = -W_apply(sc, g + W_apply(sc, dyC, inv=False), inv=False)
+        return dx, dyE, dyC, ds
+
+    # ---- init (identity scaling, then shift into the interior) -------------
+    sc0 = nt_scaling(e, e)
+    F0 = factor(sc0)
+    zx = jnp.zeros((n, LANE), dt)
+    zyE = jnp.zeros((max(p, 1), LANE), dt)  # dummy row when p == 0
+    zC = jnp.zeros((mC, LANE), dt)
+    rd0, rpE0, rpC0 = residuals(zx, zyE, zC, zC)
+    dx0, dyE0, _, _ = solve_dir(F0, sc0, rd0, rpE0, rpC0, -e)
+    x = dx0
+    yE = dyE0
+    s0 = bC - mv(AC, x)
+    parts = []
+    if l:
+        sh = jnp.maximum(0.0, -1.5 * jnp.min(s0[:l], axis=0)) + 1.0
+        parts.append(s0[:l] + sh[None, :])
+    for sl in slices:
+        sb = s0[sl]
+        excess = jnp.sqrt(jnp.sum(sb[1:] ** 2, axis=0)) - sb[0]
+        shb = jnp.maximum(0.0, 1.5 * excess) + 1.0
+        parts.append(jnp.concatenate([sb[:1] + shb[None, :], sb[1:]], axis=0))
+    s = jnp.concatenate(parts, axis=0)
+    yC = e
+
+    def body(carry):
+        it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, _ = carry
+        rd, rpE, rpC = residuals(x, yE, yC, s)
+        mu = jnp.sum(s * yC, axis=0) / nu_deg
+        pres, dres, gaprel = metrics(x, yE, yC, s, rd, rpE, rpC)
+        done = (pres < tol) & (dres < tol) & (gaprel < tol)
+        err = jnp.maximum(jnp.maximum(pres, dres), gaprel)
+        better = err < errb
+        selb = lambda new, old: jnp.where(better[None, :], new, old)
+        xb, yEb, yCb, sb_ = selb(x, xb), selb(yE, yEb), selb(yC, yCb), selb(s, sb_)
+        errb = jnp.where(better, err, errb)
+
+        sc = nt_scaling(s, yC)
+        F = factor(sc)
+        lam = W_apply(sc, s, inv=True)
+
+        dxa, dyEa, dyCa, dsa = solve_dir(F, sc, rd, rpE, rpC, lam)
+        a_p = max_step(s, dsa)
+        a_d = max_step(yC, dyCa)
+        mu_aff = jnp.sum(
+            (s + a_p[None, :] * dsa) * (yC + a_d[None, :] * dyCa), axis=0
+        ) / nu_deg
+        sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-30)) ** 3, 0.0, 1.0)
+
+        comp = (
+            jmul(lam, lam)
+            + jmul(W_apply(sc, dsa, inv=True), W_apply(sc, dyCa, inv=False))
+            - (sigma * mu)[None, :] * e
+        )
+        g = jsolve(lam, comp)
+        dx, dyE, dyC, ds = solve_dir(F, sc, rd, rpE, rpC, g)
+
+        alpha = 0.99 * jnp.minimum(max_step(s, ds), max_step(yC, dyC))
+        alpha = jnp.minimum(alpha, 1.0)
+
+        finite = (
+            jnp.all(jnp.isfinite(dx), axis=0)
+            & jnp.all(jnp.isfinite(dyC), axis=0)
+            & jnp.all(jnp.isfinite(ds), axis=0)
+            & jnp.isfinite(alpha)
+        )
+        if p:
+            finite = finite & jnp.all(jnp.isfinite(dyE), axis=0)
+        step = (finite & ~done)[None, :]
+        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
+        upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
+        alldone = jnp.all(done | ~finite)
+        return (
+            it + 1, upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
+            xb, yEb, yCb, sb_, errb, alldone,
+        )
+
+    def cond(carry):
+        it, *_, alldone = carry
+        return (it < iters) & ~alldone
+
+    big = jnp.full((LANE,), 1e30, dt)
+    it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (
+            jnp.zeros((), jnp.int32), x, yE, yC, s,
+            x, yE, yC, s, big, jnp.zeros((), jnp.bool_),
+        ),
+    )
+    # score the exit state once (it never got a best-update inside the loop)
+    rd, rpE, rpC = residuals(x, yE, yC, s)
+    pres, dres, gaprel = metrics(x, yE, yC, s, rd, rpE, rpC)
+    err = jnp.maximum(jnp.maximum(pres, dres), gaprel)
+    fin = jnp.all(jnp.isfinite(x), axis=0) & jnp.all(jnp.isfinite(yC), axis=0)
+    better = (err < errb) & fin
+    sel = lambda new, old: jnp.where(better[None, :], new, old)
+    x_ref[:] = sel(x, xb)
+    if p:
+        yE_ref[:] = sel(yE, yEb)
+    yC_ref[:] = sel(yC, yCb)
+    s_ref[:] = sel(s, sb_)
+    it_ref[:] = jnp.broadcast_to(it.astype(dt), (1, LANE))
+    err_ref[:] = jnp.where(better, err, errb)[None, :]
+
+
+def solve_tile_fused(
+    c: Array, bE: Array, bC: Array, AE: Array, AC: Array,
+    layout: Tuple[int, int, Tuple[int, ...]],
+    *,
+    max_iters: int = 50,
+    tol: float = 5e-6,
+    reg: float = 1e-7,
+    eps: float = 1e-7,
+):
+    """Run the fused kernel on internally-laid-out batch data.
+
+    Inputs are batch-FIRST: c (B, n), bE (B, p), bC (B, mC), AE (B, p, n),
+    AC (B, mC, n); ``layout = (p, l, soc_dims)``. Returns batch-first
+    (x, yE, yC, s, iterations, best_err). B is padded to a LANE multiple.
+    """
+    p, l, soc_dims = layout
+    B, n = c.shape
+    mC = bC.shape[-1]
+    dt = c.dtype
+    padB = (-B) % LANE
+    pad = lambda x: (
+        jnp.concatenate([x, jnp.repeat(x[:1], padB, 0)], 0) if padB else x
+    )
+    to_ll = lambda x: jnp.moveaxis(pad(x), 0, -1)
+    if p:
+        args = [to_ll(c), to_ll(bE), to_ll(bC), to_ll(AE), to_ll(AC)]
+    else:  # zero-sized operands don't map to TPU kernel inputs
+        args = [to_ll(c), to_ll(bC), to_ll(AC)]
+    Bp = B + padB
+
+    def spec(x):
+        shape = x.shape[:-1] + (LANE,)
+        if x.ndim == 2:
+            return pl.BlockSpec(shape, lambda i: (0, i), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    vec_spec = lambda r: pl.BlockSpec(
+        (r, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    out_specs = [vec_spec(n)]
+    out_shape = [jax.ShapeDtypeStruct((n, Bp), dt)]
+    if p:
+        out_specs.append(vec_spec(p))
+        out_shape.append(jax.ShapeDtypeStruct((p, Bp), dt))
+    out_specs += [vec_spec(mC), vec_spec(mC), vec_spec(1), vec_spec(1)]
+    out_shape += [
+        jax.ShapeDtypeStruct((mC, Bp), dt),
+        jax.ShapeDtypeStruct((mC, Bp), dt),
+        jax.ShapeDtypeStruct((1, Bp), dt),
+        jax.ShapeDtypeStruct((1, Bp), dt),
+    ]
+
+    out = pl.pallas_call(
+        partial(_kernel, (n, p, l), tuple(soc_dims), max_iters, tol, reg, eps),
+        grid=(Bp // LANE,),
+        in_specs=[spec(a) for a in args],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=_interpret(),
+    )(*args)
+    back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
+    if p:
+        x, yE, yC, s, it, err = out
+        yE = back(yE)
+    else:
+        x, yC, s, it, err = out
+        yE = jnp.zeros((B, 0), dt)
+    return back(x), yE, back(yC), back(s), back(it)[:, 0], back(err)[:, 0]

@@ -547,3 +547,65 @@ def solve_batched(cp: ConeProgram, **kw) -> Tuple[ConeSolution, ConicSolveInfo]:
     for _ in range(cp.c.ndim - 1):
         fn = jax.vmap(fn)
     return fn(cp)
+
+
+def solve_batched_fused(
+    cp: ConeProgram,
+    *,
+    max_iters: int = 50,
+    tol: float | None = None,
+    reg: float | None = None,
+) -> Tuple[ConeSolution, ConicSolveInfo]:
+    """Solve a (B, ...) batch with the fully-fused single-kernel IPM
+    (``ops/pallas/conic_pdip.py``): one Pallas launch runs all NT-scaled
+    Newton iterations with the 128-instance tile resident in VMEM, with
+    per-tile early exit (the vmapped XLA path synchronizes the WHOLE batch
+    on its slowest instance). Falls back to :func:`solve_batched` for
+    unsupported layouts or Newton systems past the VMEM-unroll envelope."""
+    dt = cp.A.dtype
+    n = cp.num_vars
+    R, p, l, soc_dims = _row_transform(cp.cones, dt)
+    mC = l + sum(soc_dims)
+    N = n + p + mC
+    if (
+        not supports(cp.cones)
+        or mC == 0
+        or N > 64
+        or cp.c.ndim != 2
+    ):
+        return solve_batched(cp, max_iters=max_iters, tol=tol, reg=reg)
+    if tol is None:
+        tol = 1e-9 if dt == jnp.float64 else 5e-6
+    elif dt != jnp.float64:
+        tol = max(tol, 5e-6)
+    if reg is None:
+        reg = 1e-11 if dt == jnp.float64 else 1e-7
+    eps = 1e-14 if dt == jnp.float64 else 1e-7
+
+    from ..ops.pallas.conic_pdip import solve_tile_fused
+    from ..utils.precision import full_precision
+
+    @full_precision
+    def run(cp):
+        A_int = jnp.einsum("ij,bjk->bik", R, cp.A)
+        b_int = cp.b @ R.T
+        x, yE, yC, s, it, err = solve_tile_fused(
+            cp.c, b_int[:, :p], b_int[:, p:], A_int[:, :p], A_int[:, p:],
+            (p, l, soc_dims),
+            max_iters=max_iters, tol=tol, reg=reg, eps=eps,
+        )
+        y = jnp.concatenate([yE, yC], axis=-1) @ R
+        s_full = jnp.concatenate([jnp.zeros((s.shape[0], p), dt), s], axis=-1) @ R
+        gap = jnp.sum(s * yC, axis=-1)
+        return (
+            ConeSolution(x=x, y=y, s=s_full),
+            ConicSolveInfo(
+                iterations=it.astype(jnp.int32),
+                primal_residual=err,
+                dual_residual=err,
+                gap=gap,
+                converged=err < 10 * tol,
+            ),
+        )
+
+    return run(cp)
