@@ -53,7 +53,7 @@ def make_socp_batch(B, n=16, seed=0, dtype=jnp.float32):
 def main():
     from diffopt_tpu import solve_conic_batched
 
-    B = 8192  # amortize dispatch latency (same rationale as ../bench.py)
+    B = 32768  # amortize dispatch + ~26ms tunnel latency (cf. ../bench.py)
     cp = make_socp_batch(B)
 
     def loss(cp):

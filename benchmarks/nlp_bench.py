@@ -31,7 +31,7 @@ def main():
         n=n,
     )
 
-    B = 4096  # amortize dispatch latency (same rationale as ../bench.py)
+    B = 16384  # amortize dispatch + ~26ms tunnel latency (cf. ../bench.py)
     p_batch = jnp.asarray(rng.normal(size=(B, n + nc)).astype(np.float32))
     dp = jnp.asarray(rng.normal(size=(B, n + nc)).astype(np.float32))
 
