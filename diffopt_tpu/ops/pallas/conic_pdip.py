@@ -119,13 +119,13 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
     n, p, l = dims
     if p:
         (c_ref, bE_ref, bC_ref, AE_ref, AC_ref,
-         x_ref, yE_ref, yC_ref, s_ref, it_ref, err_ref) = refs
+         x_ref, yE_ref, yC_ref, s_ref, it_ref, pres_ref, dres_ref) = refs
     else:
         # zero-sized blocks don't map to TPU kernel operands (cf. pdip.py);
         # equality-free programs omit bE/AE/yE entirely and carry a (1, LANE)
         # dummy in their place inside the loop state
         (c_ref, bC_ref, AC_ref,
-         x_ref, yC_ref, s_ref, it_ref, err_ref) = refs
+         x_ref, yC_ref, s_ref, it_ref, pres_ref, dres_ref) = refs
         bE_ref = AE_ref = yE_ref = None
     soc_dims = socs
     mC = l + sum(soc_dims)
@@ -283,27 +283,25 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
         return rd, rpE, rpC
 
     def metrics(x, yE, yC, s, rd, rpE, rpC):
-        """Scale-relative termination metrics (cf. solvers/conic_ipm.py)."""
+        """Scale-relative termination metrics, numerically IDENTICAL
+        (2-norms) to solvers/conic_ipm.py so 'converged' does not flip
+        across the fused/XLA dispatch boundary."""
+        nrm = lambda u: jnp.sqrt(jnp.sum(u * u, axis=0))
         AxC = rpC - s + bC
-        Ax_sc = jnp.max(jnp.abs(AxC), axis=0)
+        Ax2 = jnp.sum(AxC * AxC, axis=0)
+        b2 = jnp.sum(bC * bC, axis=0)
+        pres2 = jnp.sum(rpC * rpC, axis=0)
         if p:
-            Ax_sc = jnp.maximum(Ax_sc, jnp.max(jnp.abs(rpE + bE), axis=0))
-            bnorm = jnp.maximum(
-                jnp.max(jnp.abs(bC), axis=0), jnp.max(jnp.abs(bE), axis=0)
-            )
-        else:
-            bnorm = jnp.max(jnp.abs(bC), axis=0)
+            AxE = rpE + bE
+            Ax2 = Ax2 + jnp.sum(AxE * AxE, axis=0)
+            b2 = b2 + jnp.sum(bE * bE, axis=0)
+            pres2 = pres2 + jnp.sum(rpE * rpE, axis=0)
         psc = 1.0 + jnp.maximum(
-            Ax_sc, jnp.maximum(jnp.max(jnp.abs(s), axis=0), bnorm)
+            jnp.sqrt(Ax2), jnp.maximum(nrm(s), jnp.sqrt(b2))
         )
-        pres_abs = jnp.max(jnp.abs(rpC), axis=0)
-        if p:
-            pres_abs = jnp.maximum(pres_abs, jnp.max(jnp.abs(rpE), axis=0))
-        pres = pres_abs / psc
-        dsc = 1.0 + jnp.maximum(
-            jnp.max(jnp.abs(rd - c), axis=0), jnp.max(jnp.abs(c), axis=0)
-        )
-        dres = jnp.max(jnp.abs(rd), axis=0) / dsc
+        pres = jnp.sqrt(pres2) / psc
+        dsc = 1.0 + jnp.maximum(nrm(rd - c), nrm(c))
+        dres = nrm(rd) / dsc
         pobj = jnp.sum(c * x, axis=0)
         dobj = -jnp.sum(bC * yC, axis=0)
         if p:
@@ -379,11 +377,14 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
     yC = e
 
     def body(carry):
-        it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, _ = carry
+        it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, itdone, _ = carry
         rd, rpE, rpC = residuals(x, yE, yC, s)
         mu = jnp.sum(s * yC, axis=0) / nu_deg
         pres, dres, gaprel = metrics(x, yE, yC, s, rd, rpE, rpC)
         done = (pres < tol) & (dres < tol) & (gaprel < tol)
+        # per-lane iteration count: record the first iteration at which a
+        # lane satisfies the criteria (the tile keeps running for others)
+        itdone = jnp.where(done & (itdone < 0), it.astype(dt), itdone)
         err = jnp.maximum(jnp.maximum(pres, dres), gaprel)
         better = err < errb
         selb = lambda new, old: jnp.where(better[None, :], new, old)
@@ -427,7 +428,7 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
         alldone = jnp.all(done | ~finite)
         return (
             it + 1, upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
-            xb, yEb, yCb, sb_, errb, alldone,
+            xb, yEb, yCb, sb_, errb, itdone, alldone,
         )
 
     def cond(carry):
@@ -435,12 +436,13 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
         return (it < iters) & ~alldone
 
     big = jnp.full((LANE,), 1e30, dt)
-    it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, _ = jax.lax.while_loop(
+    it, x, yE, yC, s, xb, yEb, yCb, sb_, errb, itdone, _ = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.zeros((), jnp.int32), x, yE, yC, s,
-            x, yE, yC, s, big, jnp.zeros((), jnp.bool_),
+            x, yE, yC, s, big, jnp.full((LANE,), -1.0, dt),
+            jnp.zeros((), jnp.bool_),
         ),
     )
     # score the exit state once (it never got a best-update inside the loop)
@@ -450,13 +452,22 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
     fin = jnp.all(jnp.isfinite(x), axis=0) & jnp.all(jnp.isfinite(yC), axis=0)
     better = (err < errb) & fin
     sel = lambda new, old: jnp.where(better[None, :], new, old)
-    x_ref[:] = sel(x, xb)
+    x_out = sel(x, xb)
+    yE_out = sel(yE, yEb)
+    yC_out = sel(yC, yCb)
+    s_out = sel(s, sb_)
+    x_ref[:] = x_out
     if p:
-        yE_ref[:] = sel(yE, yEb)
-    yC_ref[:] = sel(yC, yCb)
-    s_ref[:] = sel(s, sb_)
-    it_ref[:] = jnp.broadcast_to(it.astype(dt), (1, LANE))
-    err_ref[:] = jnp.where(better, err, errb)[None, :]
+        yE_ref[:] = yE_out
+    yC_ref[:] = yC_out
+    s_ref[:] = s_out
+    # report the metrics OF THE RETURNED STATE, split into primal/dual
+    rd, rpE, rpC = residuals(x_out, yE_out, yC_out, s_out)
+    pres_o, dres_o, _ = metrics(x_out, yE_out, yC_out, s_out, rd, rpE, rpC)
+    itdone = jnp.where(itdone >= 0, itdone, it.astype(dt))
+    it_ref[:] = itdone[None, :]
+    pres_ref[:] = pres_o[None, :]
+    dres_ref[:] = dres_o[None, :]
 
 
 def solve_tile_fused(
@@ -472,7 +483,8 @@ def solve_tile_fused(
 
     Inputs are batch-FIRST: c (B, n), bE (B, p), bC (B, mC), AE (B, p, n),
     AC (B, mC, n); ``layout = (p, l, soc_dims)``. Returns batch-first
-    (x, yE, yC, s, iterations, best_err). B is padded to a LANE multiple.
+    (x, yE, yC, s, per-instance iterations, pres, dres). B is padded to a
+    LANE multiple.
     """
     p, l, soc_dims = layout
     B, n = c.shape
@@ -503,10 +515,11 @@ def solve_tile_fused(
     if p:
         out_specs.append(vec_spec(p))
         out_shape.append(jax.ShapeDtypeStruct((p, Bp), dt))
-    out_specs += [vec_spec(mC), vec_spec(mC), vec_spec(1), vec_spec(1)]
+    out_specs += [vec_spec(mC), vec_spec(mC), vec_spec(1), vec_spec(1), vec_spec(1)]
     out_shape += [
         jax.ShapeDtypeStruct((mC, Bp), dt),
         jax.ShapeDtypeStruct((mC, Bp), dt),
+        jax.ShapeDtypeStruct((1, Bp), dt),
         jax.ShapeDtypeStruct((1, Bp), dt),
         jax.ShapeDtypeStruct((1, Bp), dt),
     ]
@@ -524,9 +537,12 @@ def solve_tile_fused(
     )(*args)
     back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
     if p:
-        x, yE, yC, s, it, err = out
+        x, yE, yC, s, it, pres, dres = out
         yE = back(yE)
     else:
-        x, yC, s, it, err = out
+        x, yC, s, it, pres, dres = out
         yE = jnp.zeros((B, 0), dt)
-    return back(x), yE, back(yC), back(s), back(it)[:, 0], back(err)[:, 0]
+    return (
+        back(x), yE, back(yC), back(s),
+        back(it)[:, 0], back(pres)[:, 0], back(dres)[:, 0],
+    )

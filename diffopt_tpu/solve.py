@@ -114,6 +114,9 @@ from .solvers import conic as conicsolver  # noqa: E402
 from .solvers import conic_ipm  # noqa: E402
 
 
+_DR_DEFAULT_ITERS = 20000
+
+
 def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
     """Resolve the forward-pass solver. ``auto`` picks the NT-scaled interior
     point method for symmetric-cone programs (~20 Newton steps) and the DR
@@ -121,11 +124,10 @@ def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
     if solver == "auto":
         solver = "ipm" if conic_ipm.supports(cones) else "dr"
     if solver == "ipm":
-        # the IPM converges in <= ~25 steps; a DR-scaled max_iters would
-        # just inflate the while_loop trip count
-        return lambda cp: conic_ipm.solve(
-            cp, max_iters=min(max_iters, 50), tol=tol
-        )
+        # a DR-scaled default (20000) would just inflate the while_loop trip
+        # count: substitute the IPM default, but respect an explicit request
+        iters = 50 if max_iters == _DR_DEFAULT_ITERS else max_iters
+        return lambda cp: conic_ipm.solve(cp, max_iters=iters, tol=tol)
     if solver == "dr":
         return lambda cp: conicsolver.solve(
             cp, max_iters=max_iters, tol=tol, alpha=alpha

@@ -56,14 +56,16 @@ def _row_transform(cones, dtype):
     internal cone; duals map back as ``y = R' y_int``."""
     m = cones.total_dim
     R = np.zeros((m, m))
-    zero_rows, nonneg_rows, soc_blocks = [], [], []
+    zero_rows, soc_blocks = [], []
     for kind, off, dim in cones.offsets():
         if kind == "zero":
             zero_rows.extend(range(off, off + dim))
         elif kind in ("nonneg", "nonpos"):
-            nonneg_rows.extend(range(off, off + dim))
-        else:
+            pass  # placed by the second pass below
+        elif kind in ("soc", "rsoc"):
             soc_blocks.append((kind, off, dim))
+        else:  # exhaustive: never silently rotate an unknown kind
+            raise ValueError(f"_row_transform: unsupported cone kind {kind!r}")
     row = 0
     for r in zero_rows:
         R[row, r] = 1.0
@@ -564,15 +566,15 @@ def solve_batched_fused(
     unsupported layouts or Newton systems past the VMEM-unroll envelope."""
     dt = cp.A.dtype
     n = cp.num_vars
+    if not supports(cp.cones):
+        # exp/pow/psd blocks: the DR splitting is the general solver
+        from . import conic as conicsolver
+
+        return conicsolver.solve_batched(cp)
     R, p, l, soc_dims = _row_transform(cp.cones, dt)
     mC = l + sum(soc_dims)
     N = n + p + mC
-    if (
-        not supports(cp.cones)
-        or mC == 0
-        or N > 64
-        or cp.c.ndim != 2
-    ):
+    if mC == 0 or N > 64 or cp.c.ndim != 2:
         return solve_batched(cp, max_iters=max_iters, tol=tol, reg=reg)
     if tol is None:
         tol = 1e-9 if dt == jnp.float64 else 5e-6
@@ -589,7 +591,7 @@ def solve_batched_fused(
     def run(cp):
         A_int = jnp.einsum("ij,bjk->bik", R, cp.A)
         b_int = cp.b @ R.T
-        x, yE, yC, s, it, err = solve_tile_fused(
+        x, yE, yC, s, it, pres, dres = solve_tile_fused(
             cp.c, b_int[:, :p], b_int[:, p:], A_int[:, :p], A_int[:, p:],
             (p, l, soc_dims),
             max_iters=max_iters, tol=tol, reg=reg, eps=eps,
@@ -597,12 +599,13 @@ def solve_batched_fused(
         y = jnp.concatenate([yE, yC], axis=-1) @ R
         s_full = jnp.concatenate([jnp.zeros((s.shape[0], p), dt), s], axis=-1) @ R
         gap = jnp.sum(s * yC, axis=-1)
+        err = jnp.maximum(pres, dres)
         return (
             ConeSolution(x=x, y=y, s=s_full),
             ConicSolveInfo(
-                iterations=it.astype(jnp.int32),
-                primal_residual=err,
-                dual_residual=err,
+                iterations=it.astype(jnp.int32),  # per instance
+                primal_residual=pres,
+                dual_residual=dres,
                 gap=gap,
                 converged=err < 10 * tol,
             ),

@@ -224,13 +224,16 @@ def solve(
             )
             return kkt_error(stc, st.mu)
 
+        # NaN-aware: a NaN candidate error must count as 'worse' (NaN > x is
+        # False), else a NaN direction from the unpivoted LDL' would shrink
+        # the Levenberg shift and livelock
         for _ in range(3):
-            worse = cand_err(a_p, a_d) > err0 * 1.5
+            worse = jnp.logical_not(cand_err(a_p, a_d) <= err0 * 1.5)
             a_p = jnp.where(worse, a_p * 0.5, a_p)
             a_d = jnp.where(worse, a_d * 0.5, a_d)
         # Levenberg update: grow when even the backtracked step is bad
         # (bends the direction toward steepest descent), decay otherwise
-        still_bad = cand_err(a_p, a_d) > err0 * 1.5
+        still_bad = jnp.logical_not(cand_err(a_p, a_d) <= err0 * 1.5)
         lm_n = jnp.where(
             still_bad,
             jnp.minimum(st.lm * 10.0, 1e6),

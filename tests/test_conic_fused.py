@@ -72,17 +72,22 @@ def test_fused_mixed_cones_matches_xla_ipm():
 
 
 def test_fused_fallback_unsupported():
-    """exp-cone programs fall back to the vmapped XLA/DR path."""
-    n = 2
-    A = -jnp.eye(3, n)[None]
-    b = jnp.asarray([[1.0, 1.0, 3.0]])
+    """exp-cone programs route through solve_batched_fused to the DR solver
+    (not a ValueError): batched entropy program, one instance."""
+    import sys, pathlib as _pl
+
+    sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
+    from test_exp_cone_program import _entropy_program
+
+    cp1 = _entropy_program(k=2)
     cp = ConeProgram(
-        A=A, b=b, c=jnp.ones((1, n)), cones=ConeSpec([("exp", 3)])
+        A=cp1.A[None], b=cp1.b[None], c=cp1.c[None], cones=cp1.cones
     )
-    # must not raise: dispatches to solve_batched -> ValueError is only for
-    # a forced ipm solve; the fused wrapper falls back to... DR is not in
-    # scope here, so this asserts the fallback contract of supports()
     assert not ipm.supports(cp.cones)
+    sol, info = ipm.solve_batched_fused(cp, max_iters=20000, tol=1e-9)
+    assert bool(jnp.all(info.converged))
+    # entropy max over the simplex: uniform distribution
+    np.testing.assert_allclose(sol.x[0, :2], 0.5, atol=1e-6)
 
 
 def test_solve_conic_batched_gradients_match_unbatched():
@@ -108,3 +113,15 @@ def test_solve_conic_batched_gradients_match_unbatched():
     np.testing.assert_allclose(g1.A, g2.A, atol=1e-4)
     np.testing.assert_allclose(g1.b, g2.b, atol=1e-4)
     np.testing.assert_allclose(g1.c, g2.c, atol=1e-4)
+
+
+def test_fused_reports_per_instance_iterations():
+    cp = _socp_batch(8, seed=21)
+    _, info = ipm.solve_batched_fused(cp)
+    it = np.asarray(info.iterations)
+    assert it.min() >= 1
+    assert len(set(it.tolist())) > 1  # per-instance counts, not one per tile
+    # residual fields are split (not one combined error in both slots)
+    assert not np.array_equal(
+        np.asarray(info.primal_residual), np.asarray(info.dual_residual)
+    )
