@@ -150,11 +150,18 @@ class ConicDiffContext:
     ):
         from .conic_diff import residual_matrix
         from .solvers import conic as conicsolver
+        from .solvers import conic_ipm
 
         self.cp = cp
         t0 = time.perf_counter()
         if sol is None:
-            sol, info = conicsolver.solve(cp, **(solver_kwargs or {}))
+            # same dispatch as solve_conic(solver='auto'): NT-scaled IPM for
+            # symmetric-cone programs (~20 Newton steps), DR otherwise
+            use_ipm = conic_ipm.supports(cp.cones) and not all(
+                k == "zero" for k, _, _ in cp.cones.blocks
+            )
+            solver = conic_ipm.solve if use_ipm else conicsolver.solve
+            sol, info = solver(cp, **(solver_kwargs or {}))
             self.solve_info = info
             if check and not bool(jnp.all(info.converged)):
                 raise NotSolvedError(
