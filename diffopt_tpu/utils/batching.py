@@ -104,3 +104,135 @@ def bucket_by_shape(
     for i, d in enumerate(dims):
         buckets[assign[d]].append(i)
     return buckets
+
+
+# ---------------------------------------------------------------------------
+# Conic padding. Same contract as pad_qp — the padded instance is
+# mathematically identical on the original coordinates — with per-kind
+# padding rows chosen so padded slacks/duals are uniquely determined
+# (no KKT degeneracy for the implicit diff):
+#
+# * nonneg/nonpos rows: ``0'x + s = +-1`` (strictly inactive, dual 0);
+# * soc blocks grown from dim d0 to d: appended tail coordinates get zero
+#   rows (s_tail = 0 inside the same cone, margin unchanged);
+# * whole appended soc blocks: ``s = (1, 0, ..., 0)`` (strict interior,
+#   dual 0).
+#
+# Variable counts must already match (scenario batches share x's meaning);
+# zero-cone rows are not padded (a 0 = 0 row has an indeterminate dual).
+# ---------------------------------------------------------------------------
+
+from ..cones import ConeSpec  # noqa: E402
+from ..ir import ConeProgram, ConeSolution  # noqa: E402
+
+
+def cone_pad_spec(specs: Sequence[ConeSpec]) -> ConeSpec:
+    """Elementwise-max target spec for a list of specs sharing the same
+    ordered kind sequence (extra trailing blocks in some instances are
+    allowed; missing blocks are padded in as interior blocks)."""
+    max_len = max(len(sp.blocks) for sp in specs)
+    blocks = []
+    for i in range(max_len):
+        kinds = {sp.blocks[i][0] for sp in specs if len(sp.blocks) > i}
+        if len(kinds) != 1:
+            raise ValueError(
+                f"cone block {i}: mismatched kinds {sorted(kinds)}; "
+                "heterogeneous batching needs a shared kind sequence"
+            )
+        (kind,) = kinds
+        if kind == "zero":
+            dims = {sp.blocks[i][1] for sp in specs if len(sp.blocks) > i}
+            if len(dims) != 1 or any(len(sp.blocks) <= i for sp in specs):
+                raise ValueError(
+                    "zero-cone blocks cannot be padded (indeterminate duals)"
+                )
+            blocks.append((kind, dims.pop()))
+        else:
+            d = max(sp.blocks[i][1] for sp in specs if len(sp.blocks) > i)
+            blocks.append((kind, d))
+    return ConeSpec(blocks)
+
+
+def pad_cone_program(cp: ConeProgram, target: ConeSpec) -> ConeProgram:
+    """Pad one instance's rows to ``target`` (same n) preserving its
+    solution: x identical, original (y, s) on the original rows, padded rows
+    strictly inactive with zero dual."""
+    if cp.cones == target:
+        return cp
+    dt = cp.A.dtype
+    n = cp.num_vars
+    src = list(cp.cones.offsets())
+    A_rows, b_rows = [], []
+    for i, (kind, t_off, t_dim) in enumerate(target.offsets()):
+        if i < len(src):
+            s_kind, s_off, s_dim = src[i]
+            if s_kind != kind or s_dim > t_dim:
+                raise ValueError(
+                    f"block {i}: cannot pad {s_kind}({s_dim}) to {kind}({t_dim})"
+                )
+            A_rows.append(cp.A[s_off : s_off + s_dim])
+            b_rows.append(cp.b[s_off : s_off + s_dim])
+            extra = t_dim - s_dim
+        else:
+            s_dim = 0
+            extra = t_dim
+        if extra == 0:
+            continue
+        A_rows.append(jnp.zeros((extra, n), dt))
+        if kind == "nonneg":
+            b_rows.append(jnp.ones((extra,), dt))  # s = 1 > 0
+        elif kind == "nonpos":
+            b_rows.append(-jnp.ones((extra,), dt))  # s = -1 < 0
+        elif kind in ("soc", "rsoc"):
+            if s_dim > 0:
+                b_rows.append(jnp.zeros((extra,), dt))  # tail coords 0
+            else:
+                head = jnp.zeros((extra,), dt).at[0].set(1.0)
+                if kind == "rsoc" and extra > 1:
+                    head = head.at[1].set(1.0)  # (1, 1, 0..): 2tu = 2 > 0
+                b_rows.append(head)
+        else:
+            raise ValueError(f"cannot pad cone kind {kind!r}")
+    return ConeProgram(
+        A=jnp.concatenate(A_rows, axis=0),
+        b=jnp.concatenate(b_rows, axis=0),
+        c=cp.c,
+        cones=target,
+    )
+
+
+def pad_and_stack_cones(
+    cps: Sequence[ConeProgram],
+) -> Tuple[ConeProgram, list]:
+    """Pad a list of same-n conic instances to a shared cone spec and stack.
+    Returns (batched_cp, original_specs) for unpadding."""
+    if len({cp.num_vars for cp in cps}) != 1:
+        raise ValueError("pad_and_stack_cones requires a shared variable count")
+    target = cone_pad_spec([cp.cones for cp in cps])
+    padded = [pad_cone_program(cp, target) for cp in cps]
+    batched = ConeProgram(
+        A=jnp.stack([q.A for q in padded]),
+        b=jnp.stack([q.b for q in padded]),
+        c=jnp.stack([q.c for q in padded]),
+        cones=target,
+    )
+    return batched, [cp.cones for cp in cps]
+
+
+def unpad_cone_solution(
+    sol: ConeSolution, specs: list, target: ConeSpec
+) -> List[ConeSolution]:
+    """Slice a batched solution back to each instance's original rows."""
+    t_offsets = list(target.offsets())
+    out = []
+    for i, spec in enumerate(specs):
+        rows = []
+        for (kind, s_off, s_dim), (_, t_off, _) in zip(
+            spec.offsets(), t_offsets
+        ):
+            rows.append(np.arange(t_off, t_off + s_dim))
+        idx = jnp.asarray(np.concatenate(rows))
+        out.append(
+            ConeSolution(x=sol.x[i], y=sol.y[i, idx], s=sol.s[i, idx])
+        )
+    return out

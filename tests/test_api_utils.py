@@ -121,3 +121,59 @@ def test_conic_context_matches_verbs():
     rev = ctx.reverse(jnp.ones(n))
     ref_r = conic_diff.reverse_differentiate(cp, ctx.sol, jnp.ones(n), method="lstsq")
     np.testing.assert_allclose(rev.db, ref_r.db, atol=1e-10)
+
+
+def test_pad_and_stack_cones_preserves_solutions():
+    """Heterogeneous conic batching: different nonneg counts and soc dims
+    pad into one batch whose per-instance solutions match unpadded solves."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from diffopt_tpu import ConeProgram, ConeSpec
+    from diffopt_tpu.solvers import conic_ipm as ipm
+    from diffopt_tpu.utils.batching import (
+        cone_pad_spec, pad_and_stack_cones, unpad_cone_solution,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 5
+
+    def socp(k, n_nonneg, seed):
+        r = np.random.default_rng(seed)
+        F = r.normal(size=(k, n))
+        U, S, Vt = np.linalg.svd(F, full_matrices=False)
+        F = (U * np.clip(S, 1.0, 2.0)[None]) @ Vt
+        g = r.normal(size=k)
+        e = r.normal(size=n)
+        e *= 0.4 / np.linalg.norm(e)
+        blocks = []
+        A_parts, b_parts = [], []
+        if n_nonneg:
+            A_parts.append(-np.eye(n_nonneg, n) - 10.0 * np.ones((n_nonneg, n)) * 0)
+            b_parts.append(10.0 * np.ones(n_nonneg))  # x_i >= -10 (inactive-ish)
+            blocks.append(("nonneg", n_nonneg))
+        A_parts.append(np.concatenate([-e[None], -F]))
+        b_parts.append(np.concatenate([[np.linalg.norm(g) + 1.0], -g]))
+        blocks.append(("soc", k + 1))
+        return ConeProgram(
+            A=jnp.asarray(np.concatenate(A_parts)),
+            b=jnp.asarray(np.concatenate(b_parts)),
+            c=jnp.asarray(r.normal(size=n)),
+            cones=ConeSpec(blocks),
+        )
+
+    cps = [socp(6, 2, 1), socp(4, 3, 2), socp(6, 3, 3)]
+    # give every instance the same kind sequence (nonneg then soc)
+    batched, specs = pad_and_stack_cones(cps)
+    target = batched.cones
+    assert target == cone_pad_spec([cp.cones for cp in cps])
+    sol_b, info_b = ipm.solve_batched(batched)
+    assert bool(jnp.all(info_b.converged))
+    sols = unpad_cone_solution(sol_b, specs, target)
+    for cp, s_pad in zip(cps, sols):
+        s_ref, info = ipm.solve(cp)
+        assert bool(info.converged)
+        # identical programs but different IPM paths: tol*cond-level diff
+        np.testing.assert_allclose(s_pad.x, s_ref.x, atol=1e-4)
+        np.testing.assert_allclose(s_pad.y, s_ref.y, atol=1e-4)
+        np.testing.assert_allclose(s_pad.s, s_ref.s, atol=1e-4)
