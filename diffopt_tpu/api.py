@@ -146,22 +146,34 @@ class ConicDiffContext:
         sol=None,
         *,
         check: bool = True,
+        solver: str = "auto",
         solver_kwargs: Optional[dict] = None,
+        polish: Optional[int] = None,
     ):
-        from .conic_diff import residual_matrix
+        from .conic_diff import refine_solution, residual_matrix
         from .solvers import conic as conicsolver
         from .solvers import conic_ipm
+        from .utils.config import get_config
 
         self.cp = cp
         t0 = time.perf_counter()
         if sol is None:
             # same dispatch as solve_conic(solver='auto'): NT-scaled IPM for
-            # symmetric-cone programs (~20 Newton steps), DR otherwise
-            use_ipm = conic_ipm.supports(cp.cones) and not all(
-                k == "zero" for k, _, _ in cp.cones.blocks
-            )
-            solver = conic_ipm.solve if use_ipm else conicsolver.solve
-            sol, info = solver(cp, **(solver_kwargs or {}))
+            # symmetric-cone programs (~20 Newton steps), DR otherwise;
+            # 'ipm'/'dr' force one (so DR-only kwargs like alpha/accel have a
+            # supported route — solver_kwargs go to whichever solver runs)
+            if solver == "auto":
+                use_ipm = conic_ipm.supports(cp.cones) and not all(
+                    k == "zero" for k, _, _ in cp.cones.blocks
+                )
+            elif solver in ("ipm", "dr"):
+                use_ipm = solver == "ipm"
+            else:
+                raise ValueError(
+                    f"solver must be 'auto', 'ipm' or 'dr', got {solver!r}"
+                )
+            solve_fn = conic_ipm.solve if use_ipm else conicsolver.solve
+            sol, info = solve_fn(cp, **(solver_kwargs or {}))
             self.solve_info = info
             if check and not bool(jnp.all(info.converged)):
                 raise NotSolvedError(
@@ -170,33 +182,44 @@ class ConicDiffContext:
                 )
         else:
             self.solve_info = None
+        if polish is None:
+            polish = get_config().conic_polish_steps(cp.A.dtype)
+        if polish:
+            sol = refine_solution(cp, sol, steps=polish)
         self.sol = sol
         M = residual_matrix(cp, sol)
         dt = M.dtype
         N = M.shape[-1]
         delta = 1e-12 if dt == jnp.float64 else 1e-6
         self._M = M
-        G = jnp.swapaxes(M, -1, -2) @ M
+        Mt = jnp.swapaxes(M, -1, -2)
+        eye = jnp.eye(N, dtype=dt)
+        # Cache BOTH direction's normal-equation factors (the reference
+        # caches one M and reuses it for forward and reverse,
+        # ``ConicProgram.jl:172-175,336-394``; the true adjoint needs M', so
+        # the gram pair (M'M, MM') plays that role here): every subsequent
+        # forward()/reverse() is triangular solves + refinement.
+        G = Mt @ M
         scale = jnp.einsum("...ii->...", G)[..., None, None] / N
-        G = G + delta * (1.0 + scale) * jnp.eye(N, dtype=dt)
-        self._lu = jax.scipy.linalg.lu_factor(G)
+        self._lu = jax.scipy.linalg.lu_factor(G + delta * (1.0 + scale) * eye)
+        G2 = M @ Mt
+        scale2 = jnp.einsum("...ii->...", G2)[..., None, None] / N
+        self._lu_t = jax.scipy.linalg.lu_factor(
+            G2 + delta * (1.0 + scale2) * eye
+        )
         self.differentiate_time_sec = float("nan")
         self._factor_time_sec = time.perf_counter() - t0
 
     def _gram_solve(self, rhs, transpose):
-        # The cached factor is of G = M'M, which serves the forward solve
-        # (normal equations + refinement). The transposed/adjoint system
-        # would need M M' — not cached — so reverse mode takes the generic
-        # least-squares path.
-        if transpose:
-            from .ops import linalg
-
-            return linalg.solve(jnp.swapaxes(self._M, -1, -2), rhs, "lstsq")
-        M = self._M
+        """Least-squares solve of M x = rhs (or M' x = rhs) from the cached
+        normal-equation factors, with refinement to absorb the ridge and the
+        squared conditioning."""
+        M = jnp.swapaxes(self._M, -1, -2) if transpose else self._M
+        lu = self._lu_t if transpose else self._lu
 
         def gsolve(r):
             return jax.scipy.linalg.lu_solve(
-                self._lu,
+                lu,
                 jnp.einsum("...ij,...i->...j", M, r)[..., None],
             )[..., 0]
 
@@ -240,11 +263,40 @@ class ConicDiffContext:
 
     @full_precision
     def reverse(self, dx, dy=None, ds=None):
+        """VJP with the cached adjoint (MM') factorization — mirrors
+        ``conic_diff.reverse_differentiate`` but replaces the fresh
+        least-squares solve with triangular solves on the warm cache."""
         from . import conic_diff as cd
+        from . import cones as _cones
+        from .ir import ConeTangent
 
         def run():
-            return cd.reverse_differentiate(
-                self.cp, self.sol, dx, dy, ds, method="lstsq"
+            cp, sol = self.cp, self.sol
+            n, m = cp.num_vars, cp.num_rows
+            x, y, s = sol.x, sol.y, sol.s
+            v = y - s
+            vp = _cones.pi(cp.cones, v)
+            dy_ = jnp.zeros_like(y) if dy is None else dy
+            ds_ = jnp.zeros_like(s) if ds is None else ds
+            dz = jnp.concatenate(
+                [
+                    dx,
+                    _cones.dpi_rmatvec(cp.cones, v, dy_ + ds_) - ds_,
+                    (
+                        -jnp.sum(x * dx, axis=-1)
+                        - jnp.sum(y * dy_, axis=-1)
+                        - jnp.sum(s * ds_, axis=-1)
+                    )[..., None],
+                ],
+                axis=-1,
+            )
+            g = self._gram_solve(dz, transpose=True)
+            gn, gm, gw = g[..., :n], g[..., n : n + m], g[..., n + m]
+            outer = lambda a, b: a[..., :, None] * b[..., None, :]
+            return ConeTangent(
+                dA=outer(gm, x) - outer(vp, gn),
+                db=gw[..., None] * vp - gm,
+                dc=gw[..., None] * x - gn,
             )
 
         return self._timed(run)

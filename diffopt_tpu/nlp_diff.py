@@ -226,17 +226,26 @@ def build_sensitivity_system(nlp: NLPProblem, sol: NLPSolution, p: Array):
 def factorize_with_inertia(
     M: Array,
     layout: dict,
-    st: float = 1e-6,
-    max_corrections: int = 50,
+    st: float | None = None,
+    max_corrections: int | None = None,
 ):
     """LU with the reference's inertia-correction loop
     (``NonLinearProgram.jl:356-422``): on a singular factorization, add
     ``st * diag(+1 on w/bound rows, -1 on constraint rows)`` repeatedly.
 
-    Returns ``(lu, piv, singular)`` — ``singular=True`` after
-    ``max_corrections`` failed shifts (the reference then warns and returns
-    zero sensitivities).
+    ``st``/``max_corrections`` default from the active config
+    (``inertia_shift``/``inertia_max_corrections`` — the reference's
+    hard-coded ``1e-6`` x 50). Returns ``(lu, piv, singular)`` —
+    ``singular=True`` after ``max_corrections`` failed shifts (the reference
+    then warns and returns zero sensitivities).
     """
+    from .utils.config import get_config
+
+    cfg = get_config()
+    if st is None:
+        st = cfg.inertia_shift
+    if max_corrections is None:
+        max_corrections = cfg.inertia_max_corrections
     total, len_w, nc = layout["total"], layout["len_w"], layout["nc"]
     dt = M.dtype
     d = jnp.ones((total,), dt).at[len_w : len_w + nc].set(-1.0)

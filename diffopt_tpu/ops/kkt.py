@@ -119,10 +119,28 @@ def qp_forward(
         d = -qp_kkt_solve_ldl(
             qp, sol, rhs, transpose=False, refine_iters=max(refine_iters, 2)
         )
+    elif method == "auto":
+        # Q was a tracer at dispatch time (inside jit/vmap): decide at runtime
+        d = -_auto_solve(qp, kkt_jacobian(qp, sol), rhs, refine_iters)
     else:
         J = kkt_jacobian(qp, sol)
         d = -linalg.solve(J, rhs, method, refine_iters=refine_iters)
     return _split(d, qp.num_vars, qp.num_ineq)
+
+
+def _auto_solve(qp: QuadProgram, J: Array, rhs: Array, refine_iters: int) -> Array:
+    """Runtime LP-vs-QP dispatch (reference ``iterative = norm(Q) ~= 0``,
+    ``QuadraticProgram.jl:333-335``): ``lax.cond`` on ``||Q||`` routes an
+    all-zero Q (singular KKT matrix) to the least-squares solve and everything
+    else to LU. Under ``vmap`` the cond batches to a select — both branches
+    run, but ``jnp.where`` never propagates NaNs from the unselected LU of a
+    singular system."""
+    is_lp = jnp.linalg.norm(qp.Q) == 0.0
+    return jax.lax.cond(
+        is_lp,
+        lambda: linalg.solve(J, rhs, "lstsq", refine_iters=refine_iters),
+        lambda: linalg.solve(J, rhs, "lu", refine_iters=refine_iters),
+    )
 
 
 @full_precision
@@ -147,6 +165,9 @@ def qp_reverse_system(
         g = -qp_kkt_solve_ldl(
             qp, sol, rhs, transpose=True, refine_iters=max(refine_iters, 2)
         )
+    elif method == "auto":
+        Jt = jnp.swapaxes(kkt_jacobian(qp, sol), -1, -2)
+        g = -_auto_solve(qp, Jt, rhs, refine_iters)
     else:
         Jt = jnp.swapaxes(kkt_jacobian(qp, sol), -1, -2)
         g = -linalg.solve(Jt, rhs, method, refine_iters=refine_iters)

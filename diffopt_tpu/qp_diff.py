@@ -28,17 +28,25 @@ from .utils.precision import full_precision
 Array = jax.Array
 
 
-def _resolve_method(qp: QuadProgram, method: str) -> str:
+def _resolve_method(qp: QuadProgram, method: str | None) -> str:
     """Reference: ``iterative = norm(Q) ~= 0`` selects lsqr for LPs whose KKT
     matrix is singular (``QuadraticProgram.jl:333-335``). Here: 'auto' picks
-    'lstsq' when Q is concretely all-zero, else 'lu'."""
+    'lstsq' when Q is concretely all-zero, else 'lu'. When Q is a tracer
+    (inside ``jit``/``vmap``) the decision cannot be made at trace time, so
+    'auto' stays and :mod:`diffopt_tpu.ops.kkt` dispatches at runtime with a
+    ``lax.cond`` on ``||Q||`` — an LP differentiated inside jit gets the
+    least-squares path, never a silent LU of a singular KKT matrix."""
+    if method is None:
+        from .utils.config import get_config
+
+        method = get_config().kkt_method
     if method != "auto":
         return method
     try:
         qnorm = np.linalg.norm(np.asarray(jax.core.concrete_or_error(None, qp.Q)))
         return "lstsq" if qnorm == 0.0 else "lu"
     except Exception:
-        return "lu"
+        return "auto"  # runtime lax.cond dispatch (ops/kkt.py)
 
 
 @full_precision
@@ -47,7 +55,7 @@ def forward_differentiate(
     sol: QPSolution,
     dqp: QPTangent,
     *,
-    method: str = "auto",
+    method: str | None = None,
     refine_iters: int = 0,
 ) -> KKTSplit:
     """JVP of the QP solution map: tangents (dz, dlam, dnu) for a data
@@ -65,7 +73,7 @@ def reverse_differentiate(
     dlam: Optional[Array] = None,
     dnu: Optional[Array] = None,
     *,
-    method: str = "auto",
+    method: str | None = None,
     refine_iters: int = 0,
 ) -> QPTangent:
     """VJP of the QP solution map: data cotangents for a primal (and optional

@@ -22,12 +22,15 @@ import jax.numpy as jnp
 from .ir import QPSolution, QPTangent, QuadProgram
 from .ops import kkt
 from .solvers import qp as qpsolver
+from .utils.config import get_config
 
 Array = jax.Array
 
 
 @lru_cache(maxsize=None)
 def _make_solve_qp_vjp(max_iters, tol, reg, method, refine_iters):
+    from . import qp_diff
+
     @jax.custom_vjp
     def _solve(qp: QuadProgram) -> QPSolution:
         sol, _ = qpsolver.solve(qp, max_iters=max_iters, tol=tol, reg=reg)
@@ -39,7 +42,7 @@ def _make_solve_qp_vjp(max_iters, tol, reg, method, refine_iters):
 
     def _bwd(res, cot: QPSolution):
         qp, sol = res
-        grads, _ = kkt.qp_reverse(
+        grads = qp_diff.reverse_differentiate(
             qp,
             sol,
             cot.z,
@@ -60,6 +63,8 @@ def _make_solve_qp_vjp(max_iters, tol, reg, method, refine_iters):
 
 @lru_cache(maxsize=None)
 def _make_solve_qp_jvp(max_iters, tol, reg, method, refine_iters):
+    from . import qp_diff
+
     @jax.custom_jvp
     def _solve(qp: QuadProgram) -> QPSolution:
         sol, _ = qpsolver.solve(qp, max_iters=max_iters, tol=tol, reg=reg)
@@ -73,7 +78,9 @@ def _make_solve_qp_jvp(max_iters, tol, reg, method, refine_iters):
         dtan = QPTangent(
             dQ=dqp.Q, dq=dqp.q, dA=dqp.A, db=dqp.b, dG=dqp.G, dh=dqp.h
         )
-        d = kkt.qp_forward(qp, sol, dtan, method=method, refine_iters=refine_iters)
+        d = qp_diff.forward_differentiate(
+            qp, sol, dtan, method=method, refine_iters=refine_iters
+        )
         return sol, QPSolution(z=d.dz, lam=d.dlam, nu=d.dnu)
 
     return _solve
@@ -82,11 +89,11 @@ def _make_solve_qp_jvp(max_iters, tol, reg, method, refine_iters):
 def solve_qp(
     qp: QuadProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     reg: float | None = None,
-    method: str = "lu",
-    refine_iters: int = 0,
+    method: str | None = None,
+    refine_iters: int | None = None,
     mode: str = "vjp",
 ) -> QPSolution:
     """Solve a QP and make the solution differentiable w.r.t. the problem data.
@@ -95,7 +102,17 @@ def solve_qp(
     ``jax.grad``); ``mode='jvp'`` registers a forward rule (use under
     ``jax.jacfwd``/``jax.jvp``). The two differ only in which AD transform
     they support — values are identical.
+
+    ``method=None`` resolves to the config's ``kkt_method`` (default 'auto':
+    LPs route to the least-squares solve of the singular KKT system, like the
+    reference's ``QuadraticProgram.jl:333-335`` — jit/vmap-safe via
+    ``lax.cond`` when Q is a tracer).
     """
+    cfg = get_config()
+    if method is None:
+        method = cfg.kkt_method
+    if refine_iters is None:
+        refine_iters = cfg.kkt_refine_iters
     key = (max_iters, tol, reg, method, refine_iters)
     if mode == "vjp":
         return _make_solve_qp_vjp(*key)(qp)
@@ -114,20 +131,16 @@ from .solvers import conic as conicsolver  # noqa: E402
 from .solvers import conic_ipm  # noqa: E402
 
 
-_DR_DEFAULT_ITERS = 20000
-
-
 def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
     """Resolve the forward-pass solver. ``auto`` picks the NT-scaled interior
     point method for symmetric-cone programs (~20 Newton steps) and the DR
-    splitting otherwise (exp/pow/psd blocks)."""
+    splitting otherwise (exp/pow blocks). ``max_iters=None`` resolves to each
+    solver's own config default (no magic-value sentinel: an explicit
+    ``max_iters`` is always honored by whichever solver runs)."""
     if solver == "auto":
         solver = "ipm" if conic_ipm.supports(cones) else "dr"
     if solver == "ipm":
-        # a DR-scaled default (20000) would just inflate the while_loop trip
-        # count: substitute the IPM default, but respect an explicit request
-        iters = 50 if max_iters == _DR_DEFAULT_ITERS else max_iters
-        return lambda cp: conic_ipm.solve(cp, max_iters=iters, tol=tol)
+        return lambda cp: conic_ipm.solve(cp, max_iters=max_iters, tol=tol)
     if solver == "dr":
         return lambda cp: conicsolver.solve(
             cp, max_iters=max_iters, tol=tol, alpha=alpha
@@ -136,10 +149,12 @@ def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
 
 
 @lru_cache(maxsize=None)
-def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters, solver):
+def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters, solver, polish):
     @jax.custom_vjp
     def _solve(cp: ConeProgram) -> ConeSolution:
         sol, _ = _conic_solver_fn(solver, cp.cones, max_iters, tol, alpha)(cp)
+        if polish:
+            sol = conic_diff.refine_solution(cp, sol, steps=polish, method=method)
         return sol
 
     def _fwd(cp):
@@ -158,10 +173,12 @@ def _make_solve_conic_vjp(max_iters, tol, alpha, method, refine_iters, solver):
 
 
 @lru_cache(maxsize=None)
-def _make_solve_conic_jvp(max_iters, tol, alpha, method, refine_iters, solver):
+def _make_solve_conic_jvp(max_iters, tol, alpha, method, refine_iters, solver, polish):
     @jax.custom_jvp
     def _solve(cp: ConeProgram) -> ConeSolution:
         sol, _ = _conic_solver_fn(solver, cp.cones, max_iters, tol, alpha)(cp)
+        if polish:
+            sol = conic_diff.refine_solution(cp, sol, steps=polish, method=method)
         return sol
 
     @_solve.defjvp
@@ -184,30 +201,139 @@ def _make_solve_conic_jvp(max_iters, tol, alpha, method, refine_iters, solver):
 def solve_conic(
     cp: ConeProgram,
     *,
-    max_iters: int = 20000,
-    tol: float = 1e-10,
-    alpha: float = 1.5,
-    method: str = "lstsq",
-    refine_iters: int = 0,
+    max_iters: int | None = None,
+    tol: float | None = None,
+    alpha: float | None = None,
+    method: str | None = None,
+    refine_iters: int | None = None,
     mode: str = "vjp",
     solver: str = "auto",
+    polish: int | None = None,
 ) -> ConeSolution:
     """Solve a cone program differentiably (implicit diff of the homogeneous
     self-dual embedding at the solution). ``solver='auto'`` uses the NT-scaled
     interior-point method (``solvers/conic_ipm.py``) for symmetric-cone
-    programs and DR splitting (``solvers/conic.py``) otherwise; pass ``'dr'``
-    / ``'ipm'`` to force one."""
+    programs (zero/nonneg/nonpos/soc/rsoc/psd) and DR splitting
+    (``solvers/conic.py``) otherwise; pass ``'dr'`` / ``'ipm'`` to force one.
+    ``polish`` Newton-refines the solved point against the HSDE residual map
+    before differentiating (:func:`conic_diff.refine_solution` — recovers
+    ~1e-6 conic gradients from f32 solves; default per dtype from config).
+    ``max_iters``/``tol``/``alpha``/``method`` default from the active config
+    (per-solver, dtype-aware)."""
+    cfg = get_config()
+    if method is None:
+        method = cfg.conic_method
+    if refine_iters is None:
+        refine_iters = cfg.conic_refine_iters
+    if polish is None:
+        polish = cfg.conic_polish_steps(cp.A.dtype)
     if solver == "auto" and (
         not conic_ipm.supports(cp.cones)
         or all(k == "zero" for k, _, _ in cp.cones.blocks)
     ):
         solver = "dr"
-    key = (max_iters, tol, alpha, method, refine_iters, solver)
+    key = (max_iters, tol, alpha, method, refine_iters, solver, polish)
     if mode == "vjp":
         return _make_solve_conic_vjp(*key)(cp)
     elif mode == "jvp":
         return _make_solve_conic_jvp(*key)(cp)
     raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
+
+
+# ---------------------------------------------------------------------------
+# NLP
+# ---------------------------------------------------------------------------
+
+from . import nlp_diff  # noqa: E402
+from .nlp_diff import NLPProblem, NLPSolution  # noqa: E402
+from .solvers import nlp as nlpsolver  # noqa: E402
+
+
+@lru_cache(maxsize=None)
+def _make_solve_nlp_vjp(nlp: NLPProblem, max_iters, tol, with_x0):
+    """custom_vjp wrapper over the embedded NLP IPM + the sIpopt reverse
+    rule — the AD-composable analogue of ``_make_solve_qp_vjp`` for the NLP
+    backend (the reference reaches its NLP backend through the exact same
+    verbs/parameter layer as QP/conic:
+    ``NonLinearProgram.jl:502-582``, ``parameters.jl:283-301``)."""
+
+    def _raw(p, *x0):
+        sol, _ = nlpsolver.solve(
+            nlp, p, x0[0] if with_x0 else None, max_iters=max_iters, tol=tol
+        )
+        return sol
+
+    _solve = jax.custom_vjp(_raw)
+
+    def _fwd(p, *x0):
+        sol = _raw(p, *x0)
+        return sol, (p, sol) + tuple(x0)
+
+    def _bwd(res, cot: NLPSolution):
+        p, sol = res[0], res[1]
+        dp = nlp_diff.reverse_differentiate(
+            nlp, sol, p, dx=cot.x, dy=cot.y, dzL=cot.zL, dzU=cot.zU
+        )
+        if with_x0:
+            # the solution map does not depend on the start point (a local
+            # optimum is an attractor): zero cotangent for the warm start
+            return dp, jnp.zeros_like(res[2])
+        return (dp,)
+
+    _solve.defvjp(_fwd, _bwd)
+    return _solve
+
+
+@lru_cache(maxsize=None)
+def _make_solve_nlp_jvp(nlp: NLPProblem, max_iters, tol, with_x0):
+    def _raw(p, *x0):
+        sol, _ = nlpsolver.solve(
+            nlp, p, x0[0] if with_x0 else None, max_iters=max_iters, tol=tol
+        )
+        return sol
+
+    _solve = jax.custom_jvp(_raw)
+
+    @_solve.defjvp
+    def _jvp(primals, tangents):
+        p, *x0 = primals
+        dp = tangents[0]
+        sol = _raw(p, *x0)
+        fwd = nlp_diff.forward_differentiate(nlp, sol, p, dp)
+        return sol, NLPSolution(x=fwd.dx, y=fwd.dy, zL=fwd.dzL, zU=fwd.dzU)
+
+    return _solve
+
+
+def solve_nlp(
+    nlp: NLPProblem,
+    p: Array,
+    x0: Optional[Array] = None,
+    *,
+    max_iters: int | None = None,
+    tol: float | None = None,
+    mode: str = "vjp",
+) -> NLPSolution:
+    """Solve a parameterized NLP and make the full primal-dual solution
+    differentiable w.r.t. ``p`` (implicit sIpopt sensitivity at the local
+    optimum, :mod:`diffopt_tpu.nlp_diff`) — so an NLP layer drops into
+    ``jax.grad``/``jax.jacfwd``/Optax exactly like ``solve_qp``/``solve_conic``.
+
+    ``x0`` (optional warm start) is treated as non-differentiable: the
+    solution map of a local optimum does not depend on the start point.
+    ``mode='vjp'`` for reverse-mode, ``'jvp'`` for forward-mode transforms.
+    """
+    with_x0 = x0 is not None
+    key = (nlp, max_iters, tol, with_x0)
+    if mode == "vjp":
+        fn = _make_solve_nlp_vjp(*key)
+    elif mode == "jvp":
+        fn = _make_solve_nlp_jvp(*key)
+    else:
+        raise ValueError(f"mode must be 'vjp' or 'jvp', got {mode!r}")
+    if with_x0:
+        return fn(p, jax.lax.stop_gradient(x0))
+    return fn(p)
 
 
 # ---------------------------------------------------------------------------
@@ -251,12 +377,16 @@ def _make_solve_qp_batched_vjp(max_iters, method, refine_iters, polish):
 
 
 @lru_cache(maxsize=None)
-def _make_solve_conic_batched_vjp(max_iters, tol, method, refine_iters):
+def _make_solve_conic_batched_vjp(max_iters, tol, method, refine_iters, polish):
     from .solvers.conic_ipm import solve_batched_fused
 
     @jax.custom_vjp
     def _solve(cp: ConeProgram) -> ConeSolution:
         sol, _ = solve_batched_fused(cp, max_iters=max_iters, tol=tol)
+        if polish:
+            sol = conic_diff.refine_solution(
+                cp, sol, steps=polish, method="gram"
+            )
         return sol
 
     def _fwd(cp):
@@ -280,17 +410,23 @@ def _make_solve_conic_batched_vjp(max_iters, tol, method, refine_iters):
 def solve_conic_batched(
     cp: ConeProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     method: str = "gram",
     refine_iters: int = 2,
+    polish: int | None = None,
 ) -> ConeSolution:
     """Solve a leading-dim batch of symmetric-cone programs with the fused
-    single-kernel IPM (``ops/pallas/conic_pdip.py``) and differentiate through
-    the homogeneous-embedding residual at the solutions. The
-    highest-throughput conic entry point (BASELINE config 3); falls back to
-    the vmapped XLA IPM for unsupported layouts."""
-    return _make_solve_conic_batched_vjp(max_iters, tol, method, refine_iters)(cp)
+    single-kernel IPM (``ops/pallas/conic_pdip.py``), Newton-polish the
+    solved points against the HSDE residual (dtype-aware default), and
+    differentiate through the homogeneous-embedding residual at the
+    solutions. The highest-throughput conic entry point (BASELINE config 3);
+    falls back to the vmapped XLA IPM for unsupported layouts."""
+    if polish is None:
+        polish = get_config().conic_polish_steps(cp.A.dtype)
+    return _make_solve_conic_batched_vjp(
+        max_iters, tol, method, refine_iters, polish
+    )(cp)
 
 
 def solve_qp_batched(

@@ -124,9 +124,9 @@ def _aa_extrapolate(X, F, x, f, reg=1e-10):
 def solve(
     cp: ConeProgram,
     *,
-    max_iters: int = 10000,
-    tol: float = 1e-10,
-    alpha: float = 1.5,
+    max_iters: int | None = None,
+    tol: float | None = None,
+    alpha: float | None = None,
     check_every: int = 25,
     equilibrate: bool = False,
     accel: bool = False,
@@ -136,7 +136,24 @@ def solve(
     splitting and unscales the returned solution — residuals are re-checked
     on the ORIGINAL data. Off by default: without SCS's sigma/rho step-size
     tuning it often slows DR convergence (measured); useful escape hatch for
-    pathologically scaled data."""
+    pathologically scaled data.
+
+    ``max_iters``/``tol``/``alpha`` default from the active config; ``tol``
+    is dtype-aware (a 1e-10 target can never converge in f32 — the iterate
+    would burn all iterations and report ``converged=False`` at f32 accuracy).
+    """
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    dt = cp.A.dtype
+    if max_iters is None:
+        max_iters = cfg.dr_max_iters
+    if tol is None:
+        tol = cfg.dr_tol(dt)
+    elif dt != jnp.float64:
+        tol = max(tol, cfg.dr_tol_f32)
+    if alpha is None:
+        alpha = cfg.dr_relaxation
     # TPU XLA matmuls default to bf16 inputs; the DR fixed-point map is one
     # matmul per iteration and its residual checks need real f32
     with jax.default_matmul_precision("highest"):

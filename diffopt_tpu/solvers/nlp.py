@@ -65,10 +65,17 @@ def solve(
     p: Array,
     x0: Optional[Array] = None,
     *,
-    max_iters: int = 100,
-    tol: float = 1e-9,
+    max_iters: int | None = None,
+    tol: float | None = None,
     reg: float = 1e-8,
 ) -> Tuple[NLPSolution, NLPSolveInfo]:
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    if max_iters is None:
+        max_iters = cfg.nlp_max_iters
+    if tol is None:
+        tol = cfg.nlp_tol
     n, nc = nlp.n, nlp.nc
     sigma = nlp.sense_mult
     n_geq, n_leq = len(nlp.geq_locs), len(nlp.leq_locs)

@@ -58,21 +58,27 @@ def _sym_solve(K: Array, rhs: Array) -> Array:
 def solve(
     qp: QuadProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     reg: float | None = None,
 ) -> Tuple[QPSolution, QPSolveInfo]:
     """Solve one QP instance (vmap over a batched QuadProgram for batches).
 
-    ``tol``/``reg`` default per dtype: (1e-9, 1e-11) in f64, (5e-6, 1e-7) in
-    f32 — complementarity products can't resolve below ~eps.
+    ``max_iters``/``tol``/``reg`` default from the active
+    :class:`~diffopt_tpu.utils.config.DiffOptConfig` (per-dtype tolerances:
+    complementarity products can't resolve below ~sqrt(eps) in f32).
     """
+    from ..utils.config import get_config
+
+    cfg = get_config()
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
     dt = qp.Q.dtype
+    if max_iters is None:
+        max_iters = cfg.qp_max_iters
     if tol is None:
-        tol = 1e-9 if dt == jnp.float64 else 5e-6
+        tol = cfg.qp_tol(dt)
     if reg is None:
-        reg = 1e-11 if dt == jnp.float64 else 1e-7
+        reg = cfg.qp_reg(dt)
     Q, q, A, b, G, h = qp.Q, qp.q, qp.A, qp.b, qp.G, qp.h
 
     if m == 0 and p == 0:
@@ -237,7 +243,7 @@ def solve(
 def solve_batched(
     qp: QuadProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     reg: float | None = None,
 ) -> Tuple[QPSolution, QPSolveInfo]:

@@ -1,49 +1,134 @@
 """Typed configuration — the reference's scattered hard-coded tolerances as
-explicit knobs (SURVEY.md §5 flags the load-bearing constants:
+explicit, *wired* knobs (SURVEY.md §5 flags the load-bearing constants:
 ``norm(RHS) <= 1e-400`` / ``1e-4`` conic zero-shortcuts ``ConicProgram.jl:
 320,369``, ``tol=1e-6`` NLP dual-sign assertions ``nlp_utilities.jl:181``,
 ``iterative = norm(Q) ~= 0`` LP detection ``QuadraticProgram.jl:333``,
-inertia step ``1e-6`` x 50 ``NonLinearProgram.jl:356-381``)."""
+inertia step ``1e-6`` x 50 ``NonLinearProgram.jl:356-381``).
+
+Every public solve/differentiate entry point resolves its ``None`` defaults
+from the active config (:func:`get_config`), so the per-dtype tolerances live
+in exactly one place. Swap the whole config with :func:`set_config` or
+scoped-ly with :func:`use_config`::
+
+    with use_config(DiffOptConfig(qp_max_iters=5)):
+        sol = solve_qp(qp)          # solver capped at 5 IPM iterations
+
+Configs are plain frozen dataclasses: derive variants with
+``dataclasses.replace(get_config(), qp_tol_f32=1e-4)``.
+"""
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
-from typing import Optional
+
+import jax.numpy as jnp
 
 
 @dataclasses.dataclass(frozen=True)
 class DiffOptConfig:
-    # --- QP/KKT diff ------------------------------------------------------
-    kkt_method: str = "auto"  # 'lu' | 'lstsq' | 'ldl' | 'auto'
-    kkt_refine_iters: int = 2  # iterative-refinement steps on ldl path
+    # --- QP/KKT differentiation (qp_diff / ops/kkt) -------------------------
+    # 'auto' routes LPs (||Q|| == 0) to the least-squares path like the
+    # reference's `iterative = norm(Q) ~= 0` (QuadraticProgram.jl:333-335)
+    kkt_method: str = "auto"  # 'auto' | 'lu' | 'lstsq' | 'qr' | 'ldl'
+    kkt_refine_iters: int = 0
     ldl_lam_floor_f64: float = 1e-12
     ldl_lam_floor_f32: float = 1e-6
     ldl_reg_f64: float = 1e-11
     ldl_reg_f32: float = 1e-6
 
-    # --- embedded solvers -------------------------------------------------
+    # --- embedded QP interior-point solver ----------------------------------
     qp_max_iters: int = 50
     qp_tol_f64: float = 1e-9
-    qp_tol_f32: float = 5e-6
-    conic_max_iters: int = 20000
-    conic_tol: float = 1e-10
-    conic_relaxation: float = 1.5
+    qp_tol_f32: float = 5e-6  # complementarity floors at ~sqrt(eps_f32)
+    qp_reg_f64: float = 1e-11
+    qp_reg_f32: float = 1e-7
+
+    # --- embedded conic solvers ---------------------------------------------
+    # NT-scaled IPM (symmetric cones: zero/nonneg/nonpos/soc/rsoc/psd)
+    ipm_max_iters: int = 50
+    ipm_tol_f64: float = 1e-9
+    ipm_tol_f32: float = 5e-6
+    ipm_reg_f64: float = 1e-11
+    ipm_reg_f32: float = 1e-7
+    # DR/ADMM splitting (general cones: + exp/pow)
+    dr_max_iters: int = 20000
+    dr_tol_f64: float = 1e-10
+    dr_tol_f32: float = 3e-6  # a 1e-10 target can never converge in f32
+    dr_relaxation: float = 1.5
+
+    # --- conic differentiation ----------------------------------------------
+    conic_method: str = "lstsq"  # 'lstsq' | 'lu' | 'qr' | 'gram' | 'lsqr'
+    conic_refine_iters: int = 0
+    # Newton polish of the solved point against the HSDE residual map
+    # (conic_diff.refine_solution): removes the f32 complementarity floor
+    # from conic gradients the way qp_polish does for QPs. f64 solves already
+    # sit at ~1e-9 so polish is off there by default.
+    conic_polish_steps_f64: int = 0
+    conic_polish_steps_f32: int = 2
+
+    # --- embedded NLP interior-point solver ---------------------------------
     nlp_max_iters: int = 100
     nlp_tol: float = 1e-9
 
-    # --- NLP sensitivity --------------------------------------------------
+    # --- NLP sensitivity -----------------------------------------------------
     # reference: st=1e-6, max 50 corrections (NonLinearProgram.jl:356-381)
     inertia_shift: float = 1e-6
     inertia_max_corrections: int = 50
     # reference: dual-sign assertion tolerance (nlp_utilities.jl:181)
     dual_sign_tol: float = 1e-6
 
-    # --- conic diff -------------------------------------------------------
-    # the reference zero-shortcuts (ConicProgram.jl:320,369) are effectively
-    # 'skip the solve when the seed is exactly zero'; lstsq of a zero rhs is
-    # already zero so no shortcut is needed, but the knob is kept for parity
-    conic_zero_shortcut_forward: float = 0.0
-    conic_zero_shortcut_reverse: float = 0.0
+    # ------------------------------------------------------------------------
+    def qp_tol(self, dtype) -> float:
+        return self.qp_tol_f64 if dtype == jnp.float64 else self.qp_tol_f32
+
+    def qp_reg(self, dtype) -> float:
+        return self.qp_reg_f64 if dtype == jnp.float64 else self.qp_reg_f32
+
+    def ipm_tol(self, dtype) -> float:
+        return self.ipm_tol_f64 if dtype == jnp.float64 else self.ipm_tol_f32
+
+    def ipm_reg(self, dtype) -> float:
+        return self.ipm_reg_f64 if dtype == jnp.float64 else self.ipm_reg_f32
+
+    def dr_tol(self, dtype) -> float:
+        return self.dr_tol_f64 if dtype == jnp.float64 else self.dr_tol_f32
+
+    def conic_polish_steps(self, dtype) -> int:
+        return (
+            self.conic_polish_steps_f64
+            if dtype == jnp.float64
+            else self.conic_polish_steps_f32
+        )
 
 
 DEFAULT_CONFIG = DiffOptConfig()
+
+_active_config: DiffOptConfig = DEFAULT_CONFIG
+
+
+def get_config() -> DiffOptConfig:
+    """The config whose values resolve ``None`` defaults at trace time."""
+    return _active_config
+
+
+def set_config(cfg: DiffOptConfig) -> None:
+    """Install ``cfg`` globally (the reference's optimizer-attribute knobs,
+    e.g. ``QuadraticProgram.LinearAlgebraSolver``, ``moi_wrapper.jl:475-502``,
+    become process-level configuration here)."""
+    global _active_config
+    if not isinstance(cfg, DiffOptConfig):
+        raise TypeError(f"expected DiffOptConfig, got {type(cfg)!r}")
+    _active_config = cfg
+
+
+@contextlib.contextmanager
+def use_config(cfg: DiffOptConfig):
+    """Scoped :func:`set_config` (restores the previous config on exit)."""
+    global _active_config
+    prev = _active_config
+    set_config(cfg)
+    try:
+        yield cfg
+    finally:
+        _active_config = prev

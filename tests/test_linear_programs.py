@@ -165,3 +165,68 @@ def test_custom_nlp_factorization_hook():
     fwd = nlp_fwd(nlp, sol, p, jnp.array([1.0]), factorization=my_fact)
     assert calls
     np.testing.assert_allclose(fwd.dx, [1.0], atol=1e-8)
+
+
+def test_lp_gradients_inside_jit_and_vmap():
+    """An LP differentiated under jit+vmap must take the least-squares path
+    (runtime ``lax.cond`` on ||Q||, ops/kkt.py) and produce the same VALUES as
+    the eager 'auto' dispatch — the reference always routes singular KKT
+    systems to lsqr (``QuadraticProgram.jl:333-335``). Round-1 verdict: the
+    trace-time guess silently degraded to a plain LU of a singular matrix."""
+    from diffopt_tpu import solve_qp
+
+    G = np.array([[1.0, 2.0], [3.0, 1.0]])
+
+    def loss(h):
+        qp = QuadProgram.make(q=[-1.0, -1.0], G=G, h=h)
+        sol = solve_qp(qp)  # method=None -> config 'auto'
+        return jnp.sum(sol.z**2)
+
+    h0 = jnp.array([4.0, 6.0])
+    g_eager = jax.grad(loss)(h0)
+    assert np.all(np.isfinite(np.asarray(g_eager)))
+
+    # analytic: both rows active, z = G^{-1} h, dz/dh = G^{-1}
+    z = np.linalg.solve(G, np.asarray(h0))
+    g_expected = np.linalg.solve(G.T, 2 * z)
+    np.testing.assert_allclose(g_eager, g_expected, atol=1e-6)
+
+    g_jit = jax.jit(jax.grad(loss))(h0)
+    np.testing.assert_allclose(g_jit, g_expected, atol=1e-6)
+
+    hs = jnp.stack([h0, jnp.array([5.0, 7.0])])
+    g_batch = jax.jit(jax.vmap(jax.grad(loss)))(hs)
+    for i in range(2):
+        zi = np.linalg.solve(G, np.asarray(hs[i]))
+        np.testing.assert_allclose(
+            g_batch[i], np.linalg.solve(G.T, 2 * zi), atol=1e-6
+        )
+
+    # forward mode through the same cond path
+    jac = jax.jit(jax.jacfwd(loss))(h0)
+    np.testing.assert_allclose(jac, g_expected, atol=1e-6)
+
+
+def test_mixed_lp_qp_batch_inside_vmap():
+    """A vmapped batch mixing an LP (Q=0) and a strictly convex QP must route
+    each instance correctly at runtime (select semantics of the batched
+    cond): the QP instance keeps LU-grade accuracy, the LP instance gets the
+    least-squares subgradient, and neither poisons the other with NaNs."""
+    from diffopt_tpu import solve_qp
+
+    G = np.array([[1.0, 2.0], [3.0, 1.0]])
+    Qs = jnp.stack([jnp.zeros((2, 2)), 2.0 * jnp.eye(2)])
+
+    def loss(Q, h):
+        qp = QuadProgram.make(Q=Q, q=[-1.0, -1.0], G=G, h=h)
+        return jnp.sum(solve_qp(qp).z ** 2)
+
+    hs = jnp.stack([jnp.array([4.0, 6.0]), jnp.array([4.0, 6.0])])
+    g = jax.jit(jax.vmap(jax.grad(loss, argnums=1)))(Qs, hs)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # LP instance: analytic dz/dh = G^-1 at the active vertex
+    z0 = np.linalg.solve(G, np.asarray(hs[0]))
+    np.testing.assert_allclose(g[0], np.linalg.solve(G.T, 2 * z0), atol=1e-6)
+    # QP instance vs eager single-instance gradient
+    g1 = jax.grad(loss, argnums=1)(Qs[1], hs[1])
+    np.testing.assert_allclose(g[1], g1, atol=1e-8)
