@@ -31,7 +31,13 @@ from .ir import (
 from .cones import ConeSpec
 from . import bridges, conic_diff, native, nlp_diff, parameters, qp_diff, utils
 from .qp_diff import forward_differentiate, reverse_differentiate
-from .solve import solve_conic, solve_conic_batched, solve_qp, solve_qp_batched
+from .solve import (
+    solve_conic,
+    solve_conic_batched,
+    solve_nlp,
+    solve_qp,
+    solve_qp_batched,
+)
 from .nlp_diff import NLPProblem, NLPSolution
 from .parameters import ParametricProgram
 from .api import ConicDiffContext, NotSolvedError, QPDiffContext
@@ -61,6 +67,7 @@ __all__ = [
     "utils",
     "solve_qp",
     "solve_conic",
+    "solve_nlp",
     "solve_conic_batched",
     "solve_qp_batched",
     "forward_differentiate",
