@@ -70,16 +70,99 @@ def max_to_min(Q: Array, q: Array) -> Tuple[Array, Array]:
     return -Q, -q
 
 
-def qp_to_cone(qp: QuadProgram) -> ConeProgram:
-    """Lower an (affine-objective) QuadProgram into conic geometric form:
-    rows = [Az + s = b, s in {0}] + [Gz + s = h, s in R+]. Requires Q == 0
-    (LPs); quadratic objectives lower via an epigraph SOC (see
-    :func:`quad_constraint_to_soc`)."""
-    p, m = qp.num_eq, qp.num_ineq
-    A = jnp.concatenate([qp.A, qp.G], axis=-2)
-    b = jnp.concatenate([qp.b, qp.h], axis=-1)
-    cones = ConeSpec([("zero", p), ("nonneg", m)])
-    return ConeProgram(A=A, b=b, c=qp.q, cones=cones)
+def qp_to_cone(
+    qp: QuadProgram, quadratic: bool | None = None
+) -> ConeProgram:
+    """Lower a QuadProgram into conic geometric form.
+
+    Affine objectives (LPs) lower directly: rows = [Az + s = b, s in {0}] +
+    [Gz + s = h, s in R+]. Quadratic objectives lower via the epigraph
+    rotated-SOC — the conic-form analogue of the reference's objective-slack
+    bridge + QuadtoSOC calculus (``/root/reference/src/copy_dual.jl:103-109``,
+    ``src/bridges.jl:6-21``): with ``Q = U'U`` (Cholesky, Q must be PD),
+
+        min 1/2 x'Qx + q'x  ==  min q'x + t  s.t.  (t, 1, Ux) in RSOC
+
+    (``2 t * 1 >= ||Ux||^2 = x'Qx``). The lowering is plain differentiable
+    jnp (Cholesky included), so derivative transport through the bridge is
+    the chain rule under jax AD — what ``bridges.jl:109-222`` hand-codes.
+
+    ``quadratic=None`` auto-detects from a concrete Q (``norm(Q) != 0`` —
+    the reference's LP test, ``QuadraticProgram.jl:333``); pass it explicitly
+    when Q is a tracer (the cone layout is static structure).
+    """
+    n, p, m = qp.num_vars, qp.num_eq, qp.num_ineq
+    if quadratic is None:
+        try:
+            import numpy as _np
+
+            quadratic = (
+                float(
+                    _np.linalg.norm(
+                        _np.asarray(jax.core.concrete_or_error(None, qp.Q))
+                    )
+                )
+                != 0.0
+            )
+        except Exception as exc:
+            raise ValueError(
+                "qp_to_cone: Q is a tracer — pass quadratic=True/False "
+                "explicitly (the cone layout is static structure)"
+            ) from exc
+    if not quadratic:
+        A = jnp.concatenate([qp.A, qp.G], axis=-2)
+        b = jnp.concatenate([qp.b, qp.h], axis=-1)
+        cones = ConeSpec([("zero", p), ("nonneg", m)])
+        return ConeProgram(A=A, b=b, c=qp.q, cones=cones)
+
+    dt = qp.Q.dtype
+    L = jnp.linalg.cholesky(qp.Q)
+    U = jnp.swapaxes(L, -1, -2)
+    zcol = jnp.zeros(qp.A.shape[:-2] + (p, 1), dt)
+    zcol_m = jnp.zeros(qp.G.shape[:-2] + (m, 1), dt)
+    A_eq = jnp.concatenate([qp.A, zcol], axis=-1)
+    A_in = jnp.concatenate([qp.G, zcol_m], axis=-1)
+    # rsoc rows: s1 = t, s2 = 1, s3.. = U x  (s = b - A xtilde)
+    r1 = jnp.zeros(qp.Q.shape[:-2] + (1, n + 1), dt).at[..., 0, n].set(-1.0)
+    b1 = jnp.zeros(qp.b.shape[:-1] + (1,), dt)
+    r2 = jnp.zeros(qp.Q.shape[:-2] + (1, n + 1), dt)
+    b2 = jnp.ones(qp.b.shape[:-1] + (1,), dt)
+    r3 = jnp.concatenate(
+        [-U, jnp.zeros(qp.Q.shape[:-2] + (n, 1), dt)], axis=-1
+    )
+    b3 = jnp.zeros(qp.b.shape[:-1] + (n,), dt)
+    A = jnp.concatenate([A_eq, A_in, r1, r2, r3], axis=-2)
+    b = jnp.concatenate([qp.b, qp.h, b1, b2, b3], axis=-1)
+    c = jnp.concatenate(
+        [qp.q, jnp.ones(qp.q.shape[:-1] + (1,), dt)], axis=-1
+    )
+    cones = ConeSpec([("zero", p), ("nonneg", m), ("rsoc", n + 2)])
+    return ConeProgram(A=A, b=b, c=c, cones=cones)
+
+
+def qp_via_conic(qp: QuadProgram, quadratic: bool | None = None, **solve_options):
+    """Solve a QuadProgram through the conic backend and map the solution
+    back to AK17 QP coordinates — the reference's both-backend route (every
+    QP harness case also runs under ``ConicProgram.Model``,
+    ``test/utils.jl:369-377``). Fully differentiable: gradients flow through
+    the epigraph lowering (Cholesky calculus included) and the conic rule.
+
+    Dual mapping: ``nu = y_zero`` (AK17 ``+nu(Az-b)`` sign), ``lam =
+    y_nonneg``; the rsoc dual block ``(y_t, y_2, y_u)`` satisfies ``y_t = 1``
+    and ``y_u = -U x`` at the optimum and is dropped.
+    """
+    from .solve import solve_conic
+
+    cp = qp_to_cone(qp, quadratic=quadratic)
+    sol = solve_conic(cp, **solve_options)
+    n, p, m = qp.num_vars, qp.num_eq, qp.num_ineq
+    from .ir import QPSolution
+
+    return QPSolution(
+        z=sol.x[..., :n],
+        lam=sol.y[..., p : p + m],
+        nu=sol.y[..., :p],
+    )
 
 
 def quad_constraint_to_soc(

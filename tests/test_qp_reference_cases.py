@@ -50,7 +50,6 @@ def test_osqp_example_forward():
     )
     sol = _solve(qp)
     np.testing.assert_allclose(sol.z, [0.3, 0.7], atol=ATOL)
-    # forward pass must run and produce finite tangents under the given seeds
     dqp = QPTangent(
         dQ=jnp.array([[1.0, -1.0], [-1.0, 1.0]]),
         dq=jnp.array([1.0, -1.0]),
@@ -60,7 +59,32 @@ def test_osqp_example_forward():
         dh=jnp.ones(6),
     )
     fwd = forward_differentiate(qp, sol, dqp, method="lstsq")
-    assert np.all(np.isfinite(np.asarray(fwd.dz)))
+
+    # value check vs a finite-difference oracle along the seed direction
+    # (the reference harness validates this case through its AK17 eq.(6)
+    # identities, test/utils.jl:236-261 — FD is the equivalent oracle here)
+    eps = 1e-6
+
+    def z_of(t):
+        qp_t = QuadProgram.make(
+            Q=qp.Q + t * dqp.dQ, q=qp.q + t * dqp.dq,
+            G=qp.G + t * dqp.dG, h=qp.h + t * dqp.dh,
+        )
+        return np.asarray(_solve(qp_t).z)
+
+    fd = (z_of(eps) - z_of(-eps)) / (2 * eps)
+    np.testing.assert_allclose(fwd.dz, fd, atol=1e-4)
+
+    # the reference harness's scalar-product invariance (test/utils.jl:
+    # 328-343): <dz_fwd, dzb> == sum of <forward seeds, reverse outputs>
+    dzb = jnp.ones(2)
+    rev = reverse_differentiate(qp, sol, dzb, method="lstsq")
+    lhs = float(jnp.dot(fwd.dz, dzb))
+    rhs = float(
+        jnp.sum(rev.dQ * dqp.dQ) + jnp.dot(rev.dq, dqp.dq)
+        + jnp.sum(rev.dG * dqp.dG) + jnp.dot(rev.dh, dqp.dh)
+    )
+    assert abs(lhs - rhs) < 1e-7 * (1 + abs(lhs))
 
 
 def test_quadprog_mixed_case():
