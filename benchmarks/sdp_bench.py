@@ -1,9 +1,10 @@
 """Secondary benchmark: batched SDP solves + VJPs per second per chip.
 
 BASELINE config 3 names "SOCP/SDP cones"; ``conic_bench.py`` covers SOCP via
-the fused IPM — this covers the PSD-cone path (DR splitting forward, gram
-implicit diff; PSD blocks are outside the symmetric-cone IPM's scope).
-Family: nearest-PSD-matrix-style programs
+the fused IPM — this covers the PSD-cone path (NT-scaled IPM forward with
+matrix Jordan algebra / eigh scaling, ~10-15 Newton steps, gram implicit
+diff; round 1 routed these through the 20,000-iteration DR splitting at
+72.6/s). Family: nearest-PSD-matrix-style programs
 ``min c'x s.t. svec(C + sum_i x_i E_i) in PSD`` with a known strictly
 feasible interior point. Run directly: python benchmarks/sdp_bench.py
 """
@@ -67,9 +68,7 @@ def main():
 
     def loss(cp):
         sol = jax.vmap(
-            lambda c: solve_conic(
-                c, max_iters=4000, tol=1e-5, method="gram", solver="dr"
-            )
+            lambda c: solve_conic(c, method="gram", solver="ipm")
         )(cp)
         return jnp.sum(sol.x**2)
 

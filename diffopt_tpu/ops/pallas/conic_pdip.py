@@ -310,46 +310,46 @@ def _kernel(dims, socs, iters, tol, reg, eps, *refs):
         return pres, dres, gaprel
 
     def factor(sc):
+        # Row/column order [cone | x | eq] (mirrors solvers/conic_ipm.py):
+        # the unpivoted LDL' must eliminate the O(1) -W^2 block FIRST — with
+        # x first the leading pivots are the tiny reg*I and the elimination
+        # growth ~||A||^2/reg wipes out W^2 in f32 (O(1) backward error the
+        # refinement pass cannot contract; stalled stragglers measured).
         W2 = w2_rows(sc)
         eye_n = reg * jnp.eye(n, dtype=dt)[:, :, None] * jnp.ones((1, 1, LANE), dt)
         ACt = jnp.swapaxes(AC, 0, 1)  # (n, mC, LANE)
         if p:
             AEt = jnp.swapaxes(AE, 0, 1)
-            top = jnp.concatenate([eye_n, AEt, ACt], axis=1)
+            top = jnp.concatenate([-W2, AC, jnp.zeros((mC, p, LANE), dt)], axis=1)
+            mid = jnp.concatenate([ACt, eye_n, AEt], axis=1)
             eye_p = -reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones(
                 (1, 1, LANE), dt
             )
-            mid = jnp.concatenate(
-                [AE, eye_p, jnp.zeros((p, mC, LANE), dt)], axis=1
-            )
             bot = jnp.concatenate(
-                [AC, jnp.zeros((mC, p, LANE), dt), -W2], axis=1
+                [jnp.zeros((p, mC, LANE), dt), AE, eye_p], axis=1
             )
             K = jnp.concatenate([top, mid, bot], axis=0)
         else:
-            top = jnp.concatenate([eye_n, ACt], axis=1)
-            bot = jnp.concatenate([AC, -W2], axis=1)
+            top = jnp.concatenate([-W2, AC], axis=1)
+            bot = jnp.concatenate([ACt, eye_n], axis=1)
             K = jnp.concatenate([top, bot], axis=0)
         L, dv = _ldl_value(K, N)
         return L, dv, K
 
     def solve_dir(F, sc, rd, rpE, rpC, g):
         L, dv, K = F
-        pieces = [-rd]
+        pieces = [-rpC + W_apply(sc, g, inv=False), -rd]
         if p:
             pieces.append(-rpE)
-        pieces.append(-rpC + W_apply(sc, g, inv=False))
         rhs = jnp.concatenate(pieces, axis=0)
         sol = _ldl_solve_value(L, dv, rhs, N)
-        # one refinement pass: the unpivoted LDL' divides by the tiny
-        # reg-block pivots, which in f32 costs ~half the digits of the
-        # direction (the XLA path refines too — without it the IPM needs
-        # ~2x the iterations and strands stragglers)
+        # one refinement pass absorbs the remaining ~cond(W^2) elimination
+        # growth of the cone-first factorization in f32
         resid = rhs - jnp.sum(K * sol[None, :, :], axis=1)
         sol = sol + _ldl_solve_value(L, dv, resid, N)
-        dx = sol[:n]
-        dyE = sol[n : n + p] if p else jnp.zeros((1, LANE), dt)
-        dyC = sol[n + p :]
+        dyC = sol[:mC]
+        dx = sol[mC : mC + n]
+        dyE = sol[mC + n :] if p else jnp.zeros((1, LANE), dt)
         ds = -W_apply(sc, g + W_apply(sc, dyC, inv=False), inv=False)
         return dx, dyE, dyC, ds
 

@@ -36,27 +36,34 @@ import jax
 import jax.numpy as jnp
 
 from ..ir import ConeProgram, ConeSolution
+from ..cones import _tri_side, svec_to_sym, sym_to_svec
 from ..ops.pallas.dispatch import chol, chol_solve, ldl_factor, ldl_solve
 from .conic import ConicSolveInfo
 
 Array = jax.Array
 
-_IPM_KINDS = ("zero", "nonneg", "nonpos", "soc", "rsoc")
+_IPM_KINDS = ("zero", "nonneg", "nonpos", "soc", "rsoc", "psd")
 
 
 def supports(cones) -> bool:
-    """True when every block is a symmetric cone this IPM handles."""
+    """True when every block is a symmetric cone this IPM handles (the full
+    symmetric family: polyhedral, second-order incl. rotated, and PSD-svec —
+    the reference's SCS delegate treats these as first-class,
+    ``ConicProgram.jl:132-142``; exp/pow are the non-symmetric remainder and
+    take the DR splitting)."""
     return all(k in _IPM_KINDS for k, _, _ in cones.blocks)
 
 
 def _row_transform(cones, dtype):
     """Static orthogonal R (as dense numpy) and the internal layout
-    (p zero rows, l nonneg rows, soc dims) with rows ordered
-    [zero | nonneg | soc...]. ``R A x + R s = R b`` with ``R s`` in the
-    internal cone; duals map back as ``y = R' y_int``."""
+    (p zero rows, l nonneg rows, soc dims, psd matrix sides) with rows
+    ordered ``[zero | nonneg | soc... | psd...]``. ``R A x + R s = R b`` with
+    ``R s`` in the internal cone; duals map back as ``y = R' y_int``. PSD
+    rows pass through unchanged (svec coordinates are already self-dual —
+    see the convention note in :mod:`diffopt_tpu.cones`)."""
     m = cones.total_dim
     R = np.zeros((m, m))
-    zero_rows, soc_blocks = [], []
+    zero_rows, soc_blocks, psd_blocks = [], [], []
     for kind, off, dim in cones.offsets():
         if kind == "zero":
             zero_rows.extend(range(off, off + dim))
@@ -64,6 +71,8 @@ def _row_transform(cones, dtype):
             pass  # placed by the second pass below
         elif kind in ("soc", "rsoc"):
             soc_blocks.append((kind, off, dim))
+        elif kind == "psd":
+            psd_blocks.append((off, dim))
         else:  # exhaustive: never silently rotate an unknown kind
             raise ValueError(f"_row_transform: unsupported cone kind {kind!r}")
     row = 0
@@ -96,13 +105,24 @@ def _row_transform(cones, dtype):
                 R[row + j, off + j] = 1.0
         soc_dims.append(dim)
         row += dim
+    psd_sides = []
+    for off, dim in psd_blocks:
+        for j in range(dim):
+            R[row + j, off + j] = 1.0
+        psd_sides.append(_tri_side(dim))
+        row += dim
     assert row == m
-    return jnp.asarray(R, dtype), p, l, tuple(soc_dims)
+    return jnp.asarray(R, dtype), p, l, tuple(soc_dims), tuple(psd_sides)
 
 
-# --- Jordan-algebra / NT-scaling helpers on the [nonneg | soc...] block ------
-# Every helper takes arrays shaped (mC,) or (mC, k) and acts blockwise on
-# axis 0; the (l, soc_dims) layout is static so the block loop unrolls.
+# --- Jordan-algebra / NT-scaling helpers on the [nonneg | soc... | psd...]
+# block. Every helper takes arrays shaped (mC,) or (mC, k) and acts blockwise
+# on axis 0; the (l, soc_dims, psd_sides) layout is static so the block loop
+# unrolls. PSD blocks live in svec coordinates; their Jordan algebra is the
+# symmetric-matrix one (X o Y = (XY + YX)/2) and the NT scaling point is the
+# matrix geometric mean W with W Y W = S (CVXOPT conelp section 4; eigh-based
+# here — batched small eigendecompositions are cheap relative to the ~20k
+# projections/eigh the DR splitting this path replaces would spend).
 
 
 def _soc_slices(l, soc_dims):
@@ -114,19 +134,50 @@ def _soc_slices(l, soc_dims):
     return out
 
 
-def _jmul(l, soc_dims, u, v):
-    """Jordan product u o v (elementwise on nonneg, arrow product per soc)."""
+def _psd_slices(l, soc_dims, psd_sides):
+    out = []
+    off = l + sum(soc_dims)
+    for d in psd_sides:
+        tri = d * (d + 1) // 2
+        out.append(slice(off, off + tri))
+        off += tri
+    return out
+
+
+def _mats(u_blk):
+    """svec block (tri,) or (tri, k) -> symmetric matrices (d, d) or
+    (k, d, d) (batch moved to the front so jnp matmuls broadcast)."""
+    if u_blk.ndim == 1:
+        return svec_to_sym(u_blk)
+    return svec_to_sym(jnp.moveaxis(u_blk, 0, -1))
+
+
+def _unmats(M, ndim):
+    """Inverse of :func:`_mats`."""
+    v = sym_to_svec(M)
+    if ndim == 1:
+        return v
+    return jnp.moveaxis(v, -1, 0)
+
+
+def _jmul(l, soc_dims, psd_sides, u, v):
+    """Jordan product u o v (elementwise on nonneg, arrow product per soc,
+    symmetrized matrix product per psd block)."""
     parts = [u[:l] * v[:l]]
     for sl in _soc_slices(l, soc_dims):
         ub, vb = u[sl], v[sl]
         head = jnp.sum(ub * vb, axis=0, keepdims=True)
         tail = ub[:1] * vb[1:] + vb[:1] * ub[1:]
         parts.append(jnp.concatenate([head, tail], axis=0))
+    for sl in _psd_slices(l, soc_dims, psd_sides):
+        U, V = _mats(u[sl]), _mats(v[sl])
+        parts.append(_unmats(0.5 * (U @ V + V @ U), u.ndim))
     return jnp.concatenate(parts, axis=0)
 
 
-def _jsolve(l, soc_dims, lam, d):
-    """Solve lam o g = d for g (inverse arrow operator per soc block)."""
+def _jsolve(l, soc_dims, psd_sides, lam, d):
+    """Solve lam o g = d for g (inverse arrow operator per soc block; a
+    Lyapunov solve L G + G L = 2 D via eigh per psd block)."""
     parts = [d[:l] / lam[:l]]
     eps = 1e-14 if lam.dtype == jnp.float64 else 1e-7
     for sl in _soc_slices(l, soc_dims):
@@ -137,14 +188,26 @@ def _jsolve(l, soc_dims, lam, d):
         g0 = (lb[0] * db[0] - jnp.sum(lb[1:] * db[1:], axis=0)) / det
         g1 = (db[1:] - jnp.multiply.outer(lb[1:], g0)) / lb[0]
         parts.append(jnp.concatenate([g0[None], g1], axis=0))
+    for sl in _psd_slices(l, soc_dims, psd_sides):
+        L = _mats(lam[sl])  # (d, d), PD at the scaled point
+        D = _mats(d[sl])
+        w, Q = jnp.linalg.eigh(L)
+        denom = w[..., :, None] + w[..., None, :]
+        floor = eps * jnp.max(jnp.abs(w), axis=-1)[..., None, None]
+        denom = jnp.where(jnp.abs(denom) > floor, denom, floor)
+        Qt = jnp.swapaxes(Q, -1, -2)
+        G = Q @ ((Qt @ (2.0 * D) @ Q) / denom) @ Qt
+        parts.append(_unmats(G, lam.ndim))
     return jnp.concatenate(parts, axis=0)
 
 
-def _identity_elem(l, soc_dims, dt):
+def _identity_elem(l, soc_dims, psd_sides, dt):
     parts = [jnp.ones((l,), dt)]
     for d in soc_dims:
         e = jnp.zeros((d,), dt).at[0].set(1.0)
         parts.append(e)
+    for d in psd_sides:
+        parts.append(sym_to_svec(jnp.eye(d, dtype=dt)))
     return jnp.concatenate(parts)
 
 
@@ -152,6 +215,8 @@ class _Scaling(NamedTuple):
     w: Array  # (l,) nonneg scales sqrt(s/y)
     etas: Tuple[Array, ...]  # per-soc scalar
     vs: Tuple[Array, ...]  # per-soc unit-ish vector with v'Jv = 1
+    rs: Tuple[Array, ...]  # per-psd symmetric R = W_nt^{1/2} (d, d)
+    ris: Tuple[Array, ...]  # per-psd R^{-1}
 
 
 def _J(u):
@@ -169,7 +234,18 @@ def _jdet_sqrt(u, eps):
     return jnp.sqrt(jnp.maximum(det, eps * u[0] ** 2))
 
 
-def _nt_scaling(l, soc_dims, s, y) -> _Scaling:
+def _psd_sqrt_pair(X, eps):
+    """(X^{1/2}, X^{-1/2}) for a (nearly) PD symmetric X via eigh with a
+    relative eigenvalue floor (f32: iterates ride ~mu from the boundary)."""
+    w, Q = jnp.linalg.eigh(X)
+    w = jnp.maximum(w, eps * jnp.maximum(jnp.max(w, axis=-1), 0.0)[..., None])
+    w = jnp.maximum(w, jnp.asarray(1e-30, X.dtype))
+    Qt = jnp.swapaxes(Q, -1, -2)
+    sq = jnp.sqrt(w)
+    return (Q * sq[..., None, :]) @ Qt, (Q / sq[..., None, :]) @ Qt
+
+
+def _nt_scaling(l, soc_dims, psd_sides, s, y) -> _Scaling:
     eps = 1e-14 if s.dtype == jnp.float64 else 1e-7
     w = jnp.sqrt(s[:l] / y[:l])
     etas, vs = [], []
@@ -184,14 +260,35 @@ def _nt_scaling(l, soc_dims, s, y) -> _Scaling:
         v = wb.at[0].add(1.0) / jnp.sqrt(2.0 * jnp.maximum(wb[0] + 1.0, eps))
         etas.append(jnp.sqrt(rs / ry))
         vs.append(v)
-    return _Scaling(w=w, etas=tuple(etas), vs=tuple(vs))
+    rs_psd, ris_psd = [], []
+    for sl in _psd_slices(l, soc_dims, psd_sides):
+        # W_nt solves W Y W = S: W = S^{1/2} (S^{1/2} Y S^{1/2})^{-1/2} S^{1/2}
+        # (the matrix geometric mean). Stored as the symmetric square root
+        # R = W_nt^{1/2} and its inverse, so the svec scaling operator
+        # X -> R X R is a symmetric PD matrix on the block — exactly the
+        # shape the SOC path's eta(2vv'-J) plays.
+        S = _mats(s[sl])
+        Y = _mats(y[sl])
+        Sh, _ = _psd_sqrt_pair(S, eps)
+        Z = Sh @ Y @ Sh
+        _, Zih = _psd_sqrt_pair(Z, eps)
+        Wnt = Sh @ Zih @ Sh
+        Wnt = 0.5 * (Wnt + jnp.swapaxes(Wnt, -1, -2))
+        Rb, Rbi = _psd_sqrt_pair(Wnt, eps)
+        rs_psd.append(Rb)
+        ris_psd.append(Rbi)
+    return _Scaling(
+        w=w, etas=tuple(etas), vs=tuple(vs),
+        rs=tuple(rs_psd), ris=tuple(ris_psd),
+    )
 
 
-def _w2_dense(l, soc_dims, sc: _Scaling, dt):
+def _w2_dense(l, soc_dims, psd_sides, sc: _Scaling, dt):
     """Materialize W^2 as a dense (mC, mC) block-diagonal matrix:
-    diag(w^2) on nonneg rows, eta^2 (2vv' - J)^2 per soc block. Used by the
-    quasi-definite LDL' Newton solve."""
-    mC = l + sum(soc_dims)
+    diag(w^2) on nonneg rows, eta^2 (2vv' - J)^2 per soc block, the symmetric
+    Kronecker of W_nt = R^2 per psd block (columns are svec(W_nt E_j W_nt)).
+    Used by the quasi-definite LDL' Newton solve."""
+    mC = l + sum(soc_dims) + sum(d * (d + 1) // 2 for d in psd_sides)
     W2 = jnp.zeros((mC, mC), dt)
     W2 = W2.at[jnp.arange(l), jnp.arange(l)].set(sc.w**2)
     off = l
@@ -200,12 +297,20 @@ def _w2_dense(l, soc_dims, sc: _Scaling, dt):
         Wb = 2.0 * jnp.outer(v, v) - J
         W2 = W2.at[off : off + d, off : off + d].set((eta**2) * (Wb @ Wb))
         off += d
+    for d, Rb in zip(psd_sides, sc.rs):
+        tri = d * (d + 1) // 2
+        Wnt = Rb @ Rb
+        basis = jnp.eye(tri, dtype=dt)
+        cols = jax.vmap(lambda e: sym_to_svec(Wnt @ svec_to_sym(e) @ Wnt))(basis)
+        W2 = W2.at[off : off + tri, off : off + tri].set(cols.T)
+        off += tri
     return W2
 
 
-def _w_apply(l, soc_dims, sc: _Scaling, u, inv: bool):
+def _w_apply(l, soc_dims, psd_sides, sc: _Scaling, u, inv: bool):
     """Apply W (or W^-1) blockwise: diag(w) on nonneg; eta (2 v v' - J) on soc
-    (whose inverse is eta^-1 J (2 v v' - J) J, since v'Jv = 1)."""
+    (whose inverse is eta^-1 J (2 v v' - J) J, since v'Jv = 1); X -> R X R
+    (or R^-1 X R^-1) per psd block with the symmetric R = W_nt^{1/2}."""
     w = sc.w.reshape(sc.w.shape + (1,) * (u.ndim - 1))
     parts = [u[:l] / w if inv else u[:l] * w]
     for (sl, eta, v) in zip(_soc_slices(l, soc_dims), sc.etas, sc.vs):
@@ -217,15 +322,28 @@ def _w_apply(l, soc_dims, sc: _Scaling, u, inv: bool):
         else:
             out = 2.0 * jnp.multiply.outer(v, jnp.tensordot(v, ub, axes=(0, 0))) - _J(ub)
             parts.append(out * eta)
+    for (sl, Rb, Rbi) in zip(_psd_slices(l, soc_dims, psd_sides), sc.rs, sc.ris):
+        Rm = Rbi if inv else Rb
+        parts.append(_unmats(Rm @ _mats(u[sl]) @ Rm, u.ndim))
     return jnp.concatenate(parts, axis=0)
 
 
-def _max_step(l, soc_dims, u, du, dt):
+def _max_step(l, soc_dims, psd_sides, u, du, dt):
     """Largest alpha in (0,1] keeping u + alpha du in the cone interior
     (fraction-to-boundary applied by the caller)."""
     big = jnp.asarray(jnp.inf, dt)
     ratio = jnp.where(du[:l] < 0, -u[:l] / du[:l], big)
     amax = jnp.min(ratio, initial=jnp.inf)
+    for sl in _psd_slices(l, soc_dims, psd_sides):
+        # alpha_max = -1/lambda_min(U^{-1/2} dU U^{-1/2}) when that min < 0
+        eps = 1e-14 if dt == jnp.float64 else 1e-7
+        U = _mats(u[sl])
+        dU = _mats(du[sl])
+        _, Uih = _psd_sqrt_pair(U, eps)
+        lmin = jnp.min(jnp.linalg.eigvalsh(Uih @ dU @ Uih))
+        amax = jnp.minimum(
+            amax, jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big)
+        )
     for sl in _soc_slices(l, soc_dims):
         ub, db = u[sl], du[sl]
         # exit through the cone boundary: smallest positive root of
@@ -264,7 +382,7 @@ class _State(NamedTuple):
 def solve(
     cp: ConeProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     reg: float | None = None,
     refine_iters: int | None = None,
@@ -272,8 +390,12 @@ def solve(
 ) -> Tuple[ConeSolution, ConicSolveInfo]:
     """Solve one symmetric-cone instance (vmap over batches via
     :func:`solve_batched`). Raises ``ValueError`` at trace time for cone
-    kinds outside {zero, nonneg, nonpos, soc, rsoc} — use the DR solver
-    (``solvers/conic.py``) for exp/pow/psd blocks."""
+    kinds outside {zero, nonneg, nonpos, soc, rsoc, psd} — use the DR solver
+    (``solvers/conic.py``) for exp/pow blocks."""
+    from ..utils.config import get_config
+
+    if max_iters is None:
+        max_iters = get_config().ipm_max_iters
     # TPU XLA matmuls default to bf16 inputs; an interior point method's
     # residuals and Newton systems need real f32 (the Pallas LDL' kernel is
     # f32 VPU arithmetic already — this covers the surrounding jnp matmuls)
@@ -299,7 +421,7 @@ def _solve_impl(
 ) -> Tuple[ConeSolution, ConicSolveInfo]:
     if not supports(cp.cones):
         raise ValueError(
-            "conic_ipm supports zero/nonneg/nonpos/soc/rsoc blocks only; "
+            "conic_ipm supports zero/nonneg/nonpos/soc/rsoc/psd blocks only; "
             f"got {cp.cones!r}"
         )
     if all(k == "zero" for k, _, _ in cp.cones.blocks):
@@ -307,33 +429,36 @@ def _solve_impl(
             "conic_ipm needs at least one non-zero cone block; "
             "use solvers.conic for equality-only programs"
         )
+    from ..utils.config import get_config
+
+    cfg = get_config()
     dt = cp.A.dtype
     if tol is None:
-        tol = 1e-9 if dt == jnp.float64 else 5e-6
+        tol = cfg.ipm_tol(dt)
     elif dt != jnp.float64:
         # complementarity products can't resolve below ~sqrt(eps_f32); an
         # unreachable tolerance would burn iterations and report converged
         # = False on solutions that are at f32 accuracy
-        tol = max(tol, 5e-6)
+        tol = max(tol, cfg.ipm_tol_f32)
     if reg is None:
-        reg = 1e-11 if dt == jnp.float64 else 1e-7
+        reg = cfg.ipm_reg(dt)
     n = cp.num_vars
-    R, p, l, soc_dims = _row_transform(cp.cones, dt)
+    R, p, l, soc_dims, psd_sides = _row_transform(cp.cones, dt)
     A = R @ cp.A
     b = R @ cp.b
     c = cp.c
     AE, bE = A[:p], b[:p]
     AC, bC = A[p:], b[p:]
     mC = AC.shape[0]
-    nu_deg = max(l + len(soc_dims), 1)
-    e = _identity_elem(l, soc_dims, dt)
+    nu_deg = max(l + len(soc_dims) + sum(psd_sides), 1)
+    e = _identity_elem(l, soc_dims, psd_sides, dt)
     eyen = jnp.eye(n, dtype=dt)
 
-    jmul = partial(_jmul, l, soc_dims)
-    jsolve = partial(_jsolve, l, soc_dims)
-    W = lambda sc, u: _w_apply(l, soc_dims, sc, u, inv=False)
-    Winv = lambda sc, u: _w_apply(l, soc_dims, sc, u, inv=True)
-    max_step = partial(_max_step, l, soc_dims)
+    jmul = partial(_jmul, l, soc_dims, psd_sides)
+    jsolve = partial(_jsolve, l, soc_dims, psd_sides)
+    W = lambda sc, u: _w_apply(l, soc_dims, psd_sides, sc, u, inv=False)
+    Winv = lambda sc, u: _w_apply(l, soc_dims, psd_sides, sc, u, inv=True)
+    max_step = partial(_max_step, l, soc_dims, psd_sides)
 
     def residuals(x, yE, yC, s):
         rd = c + AC.T @ yC + (AE.T @ yE if p else 0.0)
@@ -350,27 +475,36 @@ def _solve_impl(
     use_ldl = (n + p + mC) <= 128
 
     if use_ldl:
+        # Row/column order [cone | x | eq]: the unpivoted LDL' eliminates the
+        # O(1) -W^2 block FIRST. With x first, the leading pivots are the
+        # tiny reg*I (~1e-7) and elimination growth ~||A||^2/reg wipes out
+        # the W^2 block entirely in f32 (O(1) backward error, refinement
+        # diverges, the IPM stalls with primal residual frozen — measured).
+        # Cone-first pivots are -W^2 (O(1)), then the x Schur complement
+        # A'W^-2 A + reg (PD), then the equality Schur (negative definite):
+        # growth stays ~cond(W^2), which one refinement pass absorbs.
 
         def factor(sc: _Scaling):
-            W2 = _w2_dense(l, soc_dims, sc, dt)
-            K = jnp.zeros((n + p + mC, n + p + mC), dt)
-            K = K.at[:n, :n].set(reg * eyen)
+            W2 = _w2_dense(l, soc_dims, psd_sides, sc, dt)
+            N = n + p + mC
+            K = jnp.zeros((N, N), dt)
+            K = K.at[:mC, :mC].set(-W2)
+            K = K.at[:mC, mC : mC + n].set(AC)
+            K = K.at[mC : mC + n, :mC].set(AC.T)
+            K = K.at[mC : mC + n, mC : mC + n].set(reg * eyen)
             if p:
-                K = K.at[:n, n : n + p].set(AE.T)
-                K = K.at[n : n + p, :n].set(AE)
-                K = K.at[n : n + p, n : n + p].set(-reg * jnp.eye(p, dtype=dt))
-            K = K.at[:n, n + p :].set(AC.T)
-            K = K.at[n + p :, :n].set(AC)
-            K = K.at[n + p :, n + p :].set(-W2)
+                K = K.at[mC : mC + n, mC + n :].set(AE.T)
+                K = K.at[mC + n :, mC : mC + n].set(AE)
+                K = K.at[mC + n :, mC + n :].set(-reg * jnp.eye(p, dtype=dt))
             return ldl_factor(K)
 
         def _solve_dir_once(K, sc, rd, rpE, rpC, g):
             L, dvec = K
-            rhs = jnp.concatenate([-rd, -rpE, -rpC + W(sc, g)])
+            rhs = jnp.concatenate([-rpC + W(sc, g), -rd, -rpE])
             sol = ldl_solve(L, dvec, rhs)
-            dx = sol[:n]
-            dyE = sol[n : n + p]
-            dyC = sol[n + p :]
+            dyC = sol[:mC]
+            dx = sol[mC : mC + n]
+            dyE = sol[mC + n :]
             ds = -W(sc, g + W(sc, dyC))
             return dx, dyE, dyC, ds
 
@@ -407,6 +541,13 @@ def _solve_impl(
 
     if refine_iters is None:
         refine_iters = 0 if dt == jnp.float64 else 1
+        if psd_sides:
+            # PSD W^2 blocks can be orders worse conditioned than soc blocks;
+            # the unpivoted quasi-definite LDL' with ~1e-11 reg pivots then
+            # loses the Newton direction's primal-feasibility component (the
+            # IPM stalls at pres ~1e-2) — one refinement pass against the
+            # exact block system recovers it (measured)
+            refine_iters = max(refine_iters, 1)
     refine_steps = refine_iters
 
     def solve_dir(K, sc, rd, rpE, rpC, g):
@@ -428,7 +569,7 @@ def _solve_impl(
 
     # --- initialization: one Newton solve at the identity scaling, then shift
     # s and yC into the cone interior (mirrors solvers/qp.py / CVXOPT conelp)
-    sc0 = _nt_scaling(l, soc_dims, e, e)
+    sc0 = _nt_scaling(l, soc_dims, psd_sides, e, e)
     K0 = factor(sc0)
     rd0, rpE0, rpC0 = residuals(
         jnp.zeros((n,), dt), jnp.zeros((p,), dt), jnp.zeros((mC,), dt),
@@ -447,6 +588,11 @@ def _solve_impl(
         excess = jnp.linalg.norm(sb[1:]) - sb[0]
         shb = jnp.maximum(0.0, 1.5 * excess) + 1.0
         parts.append(sb.at[0].add(shb))
+    for d, sl in zip(psd_sides, _psd_slices(l, soc_dims, psd_sides)):
+        sb = s0[sl]
+        lmin = jnp.min(jnp.linalg.eigvalsh(svec_to_sym(sb)))
+        shb = jnp.maximum(0.0, -1.5 * lmin) + 1.0
+        parts.append(sb + shb * sym_to_svec(jnp.eye(d, dtype=dt)))
     s = jnp.concatenate(parts) if mC else s0
     yC = e
 
@@ -483,7 +629,7 @@ def _solve_impl(
             pres < tol, jnp.logical_and(dres < tol, gaprel < tol)
         )
 
-        sc = _nt_scaling(l, soc_dims, s, yC)
+        sc = _nt_scaling(l, soc_dims, psd_sides, s, yC)
         K = factor(sc)
         lam = Winv(sc, s)  # = W yC
 
@@ -554,7 +700,7 @@ def solve_batched(cp: ConeProgram, **kw) -> Tuple[ConeSolution, ConicSolveInfo]:
 def solve_batched_fused(
     cp: ConeProgram,
     *,
-    max_iters: int = 50,
+    max_iters: int | None = None,
     tol: float | None = None,
     reg: float | None = None,
 ) -> Tuple[ConeSolution, ConicSolveInfo]:
@@ -563,25 +709,43 @@ def solve_batched_fused(
     Newton iterations with the 128-instance tile resident in VMEM, with
     per-tile early exit (the vmapped XLA path synchronizes the WHOLE batch
     on its slowest instance). Falls back to :func:`solve_batched` for
-    unsupported layouts or Newton systems past the VMEM-unroll envelope."""
+    unsupported layouts or Newton systems past the VMEM-unroll envelope, and
+    to the DR splitting for cone kinds outside the IPM family (exp/pow) and
+    for equality-only programs (``mC == 0``, no cone to scale)."""
+    from ..utils.config import get_config
+
+    cfg = get_config()
     dt = cp.A.dtype
     n = cp.num_vars
-    if not supports(cp.cones):
-        # exp/pow/psd blocks: the DR splitting is the general solver
+
+    def _dr_fallback():
+        # forward the caller's tolerance; max_iters was sized for a ~20-step
+        # Newton method, not a first-order splitting — use the DR default
         from . import conic as conicsolver
 
-        return conicsolver.solve_batched(cp)
-    R, p, l, soc_dims = _row_transform(cp.cones, dt)
-    mC = l + sum(soc_dims)
+        return conicsolver.solve_batched(cp, tol=tol)
+
+    if not supports(cp.cones):
+        # exp/pow blocks: the DR splitting is the general solver
+        return _dr_fallback()
+    if max_iters is None:
+        max_iters = cfg.ipm_max_iters
+    R, p, l, soc_dims, psd_sides = _row_transform(cp.cones, dt)
+    mC = l + sum(soc_dims) + sum(d * (d + 1) // 2 for d in psd_sides)
     N = n + p + mC
-    if mC == 0 or N > 64 or cp.c.ndim != 2:
+    if mC == 0:
+        # equality-only program: nothing for an IPM to scale
+        return _dr_fallback()
+    if psd_sides or N > 64 or cp.c.ndim != 2:
+        # psd blocks: the vmapped XLA IPM (eigh-based NT scaling) — the fused
+        # Pallas kernel covers the polyhedral/soc family only
         return solve_batched(cp, max_iters=max_iters, tol=tol, reg=reg)
     if tol is None:
-        tol = 1e-9 if dt == jnp.float64 else 5e-6
+        tol = cfg.ipm_tol(dt)
     elif dt != jnp.float64:
-        tol = max(tol, 5e-6)
+        tol = max(tol, cfg.ipm_tol_f32)
     if reg is None:
-        reg = 1e-11 if dt == jnp.float64 else 1e-7
+        reg = cfg.ipm_reg(dt)
     eps = 1e-14 if dt == jnp.float64 else 1e-7
 
     from ..ops.pallas.conic_pdip import solve_tile_fused
