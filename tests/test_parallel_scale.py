@@ -1,0 +1,128 @@
+"""Sharded-vs-single-device equivalence AT SCALE (round-1 verdict item 9:
+the dryrun was tiny — B=16, n=6; BASELINE config 5 is 10^5 QPs over a pod).
+
+B=1024 QP instances over the 8-device virtual CPU mesh: per-device local
+KKT solves + VJPs under ``shard_map``, loss psum-reduced over ICI, compared
+against the identical single-device computation to tolerance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from diffopt_tpu import QuadProgram, solve_qp
+from diffopt_tpu.parallel import make_mesh, shard_batch
+
+
+def _batch(B, n=8, m=4, p=2, seed=0):
+    rng = np.random.default_rng(seed)
+    L = rng.normal(size=(B, n, n))
+    Q = L @ np.transpose(L, (0, 2, 1)) + n * np.eye(n)
+    return QuadProgram(
+        Q=jnp.asarray(Q),
+        q=jnp.asarray(rng.normal(size=(B, n))),
+        A=jnp.asarray(rng.normal(size=(B, p, n))),
+        b=jnp.asarray(rng.normal(size=(B, p))),
+        G=jnp.asarray(rng.normal(size=(B, m, n))),
+        h=jnp.asarray(rng.normal(size=(B, m)) + 2.0),
+    )
+
+
+def _loss_and_grads(qp):
+    def loss(qp):
+        sol = jax.vmap(lambda q: solve_qp(q, max_iters=30, method="lu"))(qp)
+        return jnp.sum(sol.z**2) + jnp.sum(sol.lam**2)
+
+    return jax.value_and_grad(loss)(qp)
+
+
+@pytest.mark.slow
+def test_sharded_b1024_matches_single_device():
+    B = 1024
+    qp = _batch(B)
+
+    # single-device reference
+    val_ref, g_ref = jax.jit(_loss_and_grads)(qp)
+
+    mesh = make_mesh(8)
+    qp_sharded = shard_batch(qp, mesh)
+    spec = jax.tree.map(lambda x: P("batch", *([None] * (x.ndim - 1))), qp)
+
+    def local(qp_shard):
+        val, g = _loss_and_grads(qp_shard)
+        return jax.lax.psum(val, "batch"), g
+
+    step = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh, in_specs=(spec,),
+            out_specs=(P(), spec), check_vma=False,
+        )
+    )
+    val_sh, g_sh = step(qp_sharded)
+
+    # the shard boundaries change reduction order only: tolerance-equal
+    np.testing.assert_allclose(float(val_sh), float(val_ref), rtol=1e-10)
+    for name in ("Q", "q", "G", "h", "b"):
+        a = np.asarray(getattr(g_sh, name))
+        b = np.asarray(getattr(g_ref, name))
+        scale = 1.0 + np.max(np.abs(b))
+        np.testing.assert_allclose(a, b, atol=1e-9 * scale, err_msg=name)
+
+
+@pytest.mark.slow
+def test_sharded_two_stage_b512_matches_single_device():
+    """The coupled (Schur/psum) path at scale: 512 scenarios over 8 devices,
+    forward solve + first-stage sensitivity vs the single-device run."""
+    from diffopt_tpu.parallel.schur import (
+        TwoStageQP,
+        solve_two_stage,
+        two_stage_forward_sensitivity,
+    )
+
+    rng = np.random.default_rng(1)
+    S, n, m, p, c = 512, 4, 2, 1, 3
+    L = rng.normal(size=(S, n, n))
+    ts = TwoStageQP(
+        Qs=jnp.asarray(L @ np.transpose(L, (0, 2, 1)) + n * np.eye(n)),
+        qs=jnp.asarray(rng.normal(size=(S, n))),
+        As=jnp.asarray(rng.normal(size=(S, p, n))),
+        bs=jnp.asarray(rng.normal(size=(S, p))),
+        Gs=jnp.asarray(rng.normal(size=(S, m, n))),
+        hs=jnp.asarray(rng.normal(size=(S, m)) + 2.0),
+        Bs=jnp.asarray(rng.normal(size=(S, p, c))),
+        Q0=jnp.asarray(np.eye(c) * c),
+        q0=jnp.asarray(rng.normal(size=c)),
+    )
+
+    def run(t, axis_name=None):
+        sol, info = solve_two_stage(t, axis_name=axis_name)
+        fwd = two_stage_forward_sensitivity(t, sol, t, axis_name=axis_name)
+        loc = jnp.sum(fwd.xs**2)
+        if axis_name:
+            loc = jax.lax.psum(loc, axis_name)
+        return loc + jnp.sum(sol.z**2)
+
+    ref = float(jax.jit(run)(ts))
+
+    mesh = make_mesh(8, axis_name="scen")
+    spec_leaf = lambda x: P("scen", *([None] * (x.ndim - 1)))
+    spec = jax.tree.map(spec_leaf, ts)
+    spec = TwoStageQP(
+        Qs=spec.Qs, qs=spec.qs, As=spec.As, bs=spec.bs,
+        Gs=spec.Gs, hs=spec.hs, Bs=spec.Bs, Q0=P(), q0=P(),
+    )
+    from jax.sharding import NamedSharding
+
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), spec,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    ts_sharded = jax.device_put(ts, shardings)
+    out = jax.jit(
+        jax.shard_map(
+            lambda t: run(t, axis_name="scen"), mesh=mesh,
+            in_specs=(spec,), out_specs=P(), check_vma=False,
+        )
+    )(ts_sharded)
+    np.testing.assert_allclose(float(out), ref, rtol=1e-7)
