@@ -222,8 +222,10 @@ def _dpi_soc_dense(v: Array) -> Array:
 
 
 def _pi_psd_tri(v: Array) -> Array:
+    from .ops.smalleig import eigh_small
+
     X = svec_to_sym(v)
-    w, U = jnp.linalg.eigh(X)
+    w, U = eigh_small(X)
     wp = jnp.clip(w, min=0.0)
     P = (U * wp[..., None, :]) @ jnp.swapaxes(U, -1, -2)
     return sym_to_svec(P)
@@ -239,9 +241,11 @@ def _psd_kmat(w: Array, dtype) -> Array:
 
 def _dpi_psd_tri_apply(v: Array, dv: Array) -> Array:
     """DPi_psd(v) @ dv in triangle coordinates."""
+    from .ops.smalleig import eigh_small
+
     X = svec_to_sym(v)
     dX = svec_to_sym(dv)
-    w, U = jnp.linalg.eigh(X)
+    w, U = eigh_small(X)
     K = _psd_kmat(w, v.dtype)
     inner = jnp.swapaxes(U, -1, -2) @ dX @ U
     out = U @ (K * inner) @ jnp.swapaxes(U, -1, -2)

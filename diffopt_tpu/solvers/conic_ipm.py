@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from ..ir import ConeProgram, ConeSolution
 from ..cones import _tri_side, svec_to_sym, sym_to_svec
+from ..ops.smalleig import eigh_small, eigvalsh_small
 from ..ops.pallas.dispatch import chol, chol_solve, ldl_factor, ldl_solve
 from .conic import ConicSolveInfo
 
@@ -191,7 +192,7 @@ def _jsolve(l, soc_dims, psd_sides, lam, d):
     for sl in _psd_slices(l, soc_dims, psd_sides):
         L = _mats(lam[sl])  # (d, d), PD at the scaled point
         D = _mats(d[sl])
-        w, Q = jnp.linalg.eigh(L)
+        w, Q = eigh_small(L)
         denom = w[..., :, None] + w[..., None, :]
         floor = eps * jnp.max(jnp.abs(w), axis=-1)[..., None, None]
         denom = jnp.where(jnp.abs(denom) > floor, denom, floor)
@@ -236,8 +237,10 @@ def _jdet_sqrt(u, eps):
 
 def _psd_sqrt_pair(X, eps):
     """(X^{1/2}, X^{-1/2}) for a (nearly) PD symmetric X via eigh with a
-    relative eigenvalue floor (f32: iterates ride ~mu from the boundary)."""
-    w, Q = jnp.linalg.eigh(X)
+    relative eigenvalue floor (f32: iterates ride ~mu from the boundary).
+    Small sides take the batched Jacobi eigensolver (ops/smalleig.py) — XLA's
+    QR-algorithm eigh is the SDP throughput bottleneck on TPU (measured)."""
+    w, Q = eigh_small(X)
     w = jnp.maximum(w, eps * jnp.maximum(jnp.max(w, axis=-1), 0.0)[..., None])
     w = jnp.maximum(w, jnp.asarray(1e-30, X.dtype))
     Qt = jnp.swapaxes(Q, -1, -2)
@@ -340,7 +343,7 @@ def _max_step(l, soc_dims, psd_sides, u, du, dt):
         U = _mats(u[sl])
         dU = _mats(du[sl])
         _, Uih = _psd_sqrt_pair(U, eps)
-        lmin = jnp.min(jnp.linalg.eigvalsh(Uih @ dU @ Uih))
+        lmin = jnp.min(eigvalsh_small(Uih @ dU @ Uih), axis=-1)
         amax = jnp.minimum(
             amax, jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big)
         )
@@ -590,7 +593,7 @@ def _solve_impl(
         parts.append(sb.at[0].add(shb))
     for d, sl in zip(psd_sides, _psd_slices(l, soc_dims, psd_sides)):
         sb = s0[sl]
-        lmin = jnp.min(jnp.linalg.eigvalsh(svec_to_sym(sb)))
+        lmin = jnp.min(eigvalsh_small(svec_to_sym(sb)), axis=-1)
         shb = jnp.maximum(0.0, -1.5 * lmin) + 1.0
         parts.append(sb + shb * sym_to_svec(jnp.eye(d, dtype=dt)))
     s = jnp.concatenate(parts) if mC else s0
