@@ -1,0 +1,93 @@
+"""Secondary benchmark: batched exponential-cone solves + VJPs per second
+per chip.
+
+Round 1 routed exp/pow programs through the ~20,000-iteration DR splitting;
+this measures the nonsymmetric-cone PDIPM (``solvers/conic_nsipm.py``,
+~10-30 Newton steps) on a batch of weighted entropy-maximization programs
+(one zero row + k exp blocks each). Run directly:
+python benchmarks/exp_bench.py
+"""
+
+import json
+import sys
+import time
+import pathlib
+
+import numpy as np
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def make_entropy_batch(B, k=3, seed=0, dtype=jnp.float32):
+    """max sum_i w_i t_i s.t. sum x = 1, (t_i, x_i, 1) in K_exp
+    (t_i <= -x_i log x_i), random positive weights w per instance."""
+    from diffopt_tpu import ConeProgram, ConeSpec
+
+    rng = np.random.default_rng(seed)
+    nv = 2 * k
+    rows = 1 + 3 * k
+    A = np.zeros((rows, nv))
+    b = np.zeros(rows)
+    A[0, :k] = -1.0
+    b[0] = -1.0
+    for i in range(k):
+        r = 1 + 3 * i
+        A[r, k + i] = -1.0
+        A[r + 1, i] = -1.0
+        b[r + 2] = 1.0
+    w = rng.uniform(0.5, 2.0, size=(B, k)).astype(np.float32)
+    c = np.concatenate([np.zeros((B, k), np.float32), -w], axis=1)
+    cones = ConeSpec([("zero", 1)] + [("exp", 3)] * k)
+    return ConeProgram(
+        A=jnp.asarray(np.broadcast_to(A, (B,) + A.shape).copy(), dtype),
+        b=jnp.asarray(np.broadcast_to(b, (B,) + b.shape).copy(), dtype),
+        c=jnp.asarray(c, dtype),
+        cones=cones,
+    )
+
+
+def main():
+    from diffopt_tpu import solve_conic
+
+    B = 4096
+    cp = make_entropy_batch(B)
+
+    def loss(cp):
+        sol = jax.vmap(
+            lambda c: solve_conic(c, method="gram", solver="nsipm")
+        )(cp)
+        return jnp.sum(sol.x**2)
+
+    step = jax.jit(jax.value_and_grad(loss))
+    val, g = step(cp)
+    _ = float(val)
+
+    ts = []
+    for i in range(3):
+        from diffopt_tpu.ir import ConeProgram
+
+        eps = np.float32(1e-6) * (i + 1)
+        cp2 = ConeProgram(
+            A=cp.A, b=cp.b, c=cp.c * (1 + eps), cones=cp.cones
+        )
+        t0 = time.perf_counter()
+        val, g = step(cp2)
+        _ = float(val) + float(g.b[0, 0])
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    print(
+        json.dumps(
+            {
+                "metric": "batched_expcone_solve_vjp_per_sec_per_chip",
+                "value": round(B / dt, 2),
+                "unit": "instances/s",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

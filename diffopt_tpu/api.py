@@ -152,27 +152,37 @@ class ConicDiffContext:
     ):
         from .conic_diff import refine_solution, residual_matrix
         from .solvers import conic as conicsolver
-        from .solvers import conic_ipm
+        from .solvers import conic_ipm, conic_nsipm
         from .utils.config import get_config
 
         self.cp = cp
         t0 = time.perf_counter()
         if sol is None:
             # same dispatch as solve_conic(solver='auto'): NT-scaled IPM for
-            # symmetric-cone programs (~20 Newton steps), DR otherwise;
-            # 'ipm'/'dr' force one (so DR-only kwargs like alpha/accel have a
-            # supported route — solver_kwargs go to whichever solver runs)
+            # symmetric-cone programs (~20 Newton steps), nonsymmetric PDIPM
+            # for exp/pow blocks, DR for equality-only programs;
+            # 'ipm'/'nsipm'/'dr' force one (so DR-only kwargs like
+            # alpha/accel have a supported route — solver_kwargs go to
+            # whichever solver runs)
+            nonzero = any(k != "zero" for k, _, _ in cp.cones.blocks)
             if solver == "auto":
-                use_ipm = conic_ipm.supports(cp.cones) and not all(
-                    k == "zero" for k, _, _ in cp.cones.blocks
-                )
-            elif solver in ("ipm", "dr"):
-                use_ipm = solver == "ipm"
+                if conic_ipm.supports(cp.cones) and nonzero:
+                    solver = "ipm"
+                elif conic_nsipm.supports(cp.cones) and nonzero:
+                    solver = "nsipm"
+                else:
+                    solver = "dr"
+            if solver == "ipm":
+                solve_fn = conic_ipm.solve
+            elif solver == "nsipm":
+                solve_fn = conic_nsipm.solve
+            elif solver == "dr":
+                solve_fn = conicsolver.solve
             else:
                 raise ValueError(
-                    f"solver must be 'auto', 'ipm' or 'dr', got {solver!r}"
+                    "solver must be 'auto', 'ipm', 'nsipm' or 'dr', "
+                    f"got {solver!r}"
                 )
-            solve_fn = conic_ipm.solve if use_ipm else conicsolver.solve
             sol, info = solve_fn(cp, **(solver_kwargs or {}))
             self.solve_info = info
             if check and not bool(jnp.all(info.converged)):

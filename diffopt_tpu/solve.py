@@ -133,19 +133,33 @@ from .solvers import conic_ipm  # noqa: E402
 
 def _conic_solver_fn(solver, cones, max_iters, tol, alpha):
     """Resolve the forward-pass solver. ``auto`` picks the NT-scaled interior
-    point method for symmetric-cone programs (~20 Newton steps) and the DR
-    splitting otherwise (exp/pow blocks). ``max_iters=None`` resolves to each
-    solver's own config default (no magic-value sentinel: an explicit
-    ``max_iters`` is always honored by whichever solver runs)."""
+    point method for symmetric-cone programs (~20 Newton steps), the
+    nonsymmetric-cone PDIPM for programs with exp/pow blocks (~30-80 Newton
+    steps, ``solvers/conic_nsipm.py``), and the DR splitting only for
+    equality-only programs or by explicit request. ``max_iters=None``
+    resolves to each solver's own config default (no magic-value sentinel:
+    an explicit ``max_iters`` is always honored by whichever solver runs)."""
+    from .solvers import conic_nsipm
+
+    nonzero = any(k != "zero" for k, _, _ in cones.blocks)
     if solver == "auto":
-        solver = "ipm" if conic_ipm.supports(cones) else "dr"
+        if conic_ipm.supports(cones) and nonzero:
+            solver = "ipm"
+        elif conic_nsipm.supports(cones) and nonzero:
+            solver = "nsipm"
+        else:
+            solver = "dr"
     if solver == "ipm":
         return lambda cp: conic_ipm.solve(cp, max_iters=max_iters, tol=tol)
+    if solver == "nsipm":
+        return lambda cp: conic_nsipm.solve(cp, max_iters=max_iters, tol=tol)
     if solver == "dr":
         return lambda cp: conicsolver.solve(
             cp, max_iters=max_iters, tol=tol, alpha=alpha
         )
-    raise ValueError(f"solver must be 'auto', 'ipm' or 'dr', got {solver!r}")
+    raise ValueError(
+        f"solver must be 'auto', 'ipm', 'nsipm' or 'dr', got {solver!r}"
+    )
 
 
 @lru_cache(maxsize=None)
@@ -213,13 +227,17 @@ def solve_conic(
     """Solve a cone program differentiably (implicit diff of the homogeneous
     self-dual embedding at the solution). ``solver='auto'`` uses the NT-scaled
     interior-point method (``solvers/conic_ipm.py``) for symmetric-cone
-    programs (zero/nonneg/nonpos/soc/rsoc/psd) and DR splitting
-    (``solvers/conic.py``) otherwise; pass ``'dr'`` / ``'ipm'`` to force one.
+    programs (zero/nonneg/nonpos/soc/rsoc/psd), the nonsymmetric-cone PDIPM
+    (``solvers/conic_nsipm.py``) for programs with exp/pow/dual_exp/dual_pow
+    blocks, and DR splitting (``solvers/conic.py``) for equality-only
+    programs; pass ``'dr'`` / ``'ipm'`` / ``'nsipm'`` to force one.
     ``polish`` Newton-refines the solved point against the HSDE residual map
     before differentiating (:func:`conic_diff.refine_solution` — recovers
     ~1e-6 conic gradients from f32 solves; default per dtype from config).
     ``max_iters``/``tol``/``alpha``/``method`` default from the active config
     (per-solver, dtype-aware)."""
+    from .solvers import conic_nsipm
+
     cfg = get_config()
     if method is None:
         method = cfg.conic_method
@@ -227,11 +245,14 @@ def solve_conic(
         refine_iters = cfg.conic_refine_iters
     if polish is None:
         polish = cfg.conic_polish_steps(cp.A.dtype)
-    if solver == "auto" and (
-        not conic_ipm.supports(cp.cones)
-        or all(k == "zero" for k, _, _ in cp.cones.blocks)
-    ):
-        solver = "dr"
+    if solver == "auto":
+        nonzero = any(k != "zero" for k, _, _ in cp.cones.blocks)
+        if conic_ipm.supports(cp.cones) and nonzero:
+            solver = "ipm"
+        elif conic_nsipm.supports(cp.cones) and nonzero:
+            solver = "nsipm"
+        else:
+            solver = "dr"
     key = (max_iters, tol, alpha, method, refine_iters, solver, polish)
     if mode == "vjp":
         return _make_solve_conic_vjp(*key)(cp)

@@ -55,17 +55,22 @@ def supports(cones) -> bool:
     return all(k in _IPM_KINDS for k, _, _ in cones.blocks)
 
 
-def _row_transform(cones, dtype):
+def _row_transform(cones, dtype, allow_ns: bool = False):
     """Static orthogonal R (as dense numpy) and the internal layout
     (p zero rows, l nonneg rows, soc dims, psd matrix sides) with rows
     ordered ``[zero | nonneg | soc... | psd...]``. ``R A x + R s = R b`` with
     ``R s`` in the internal cone; duals map back as ``y = R' y_int``. PSD
     rows pass through unchanged (svec coordinates are already self-dual —
-    see the convention note in :mod:`diffopt_tpu.cones`)."""
+    see the convention note in :mod:`diffopt_tpu.cones`).
+
+    With ``allow_ns=True`` (the nonsymmetric IPM, ``conic_nsipm.py``),
+    exp/pow blocks pass through unchanged at the end of the layout
+    ``[zero | nonneg | soc... | psd... | ns...]`` and a sixth return value
+    lists them as ``(kind, alpha)`` tuples (``alpha=None`` for exp)."""
     m = cones.total_dim
     R = np.zeros((m, m))
-    zero_rows, soc_blocks, psd_blocks = [], [], []
-    for kind, off, dim in cones.offsets():
+    zero_rows, soc_blocks, psd_blocks, ns_blocks_src = [], [], [], []
+    for kind, off, dim, prm in cones.offsets_params():
         if kind == "zero":
             zero_rows.extend(range(off, off + dim))
         elif kind in ("nonneg", "nonpos"):
@@ -74,6 +79,8 @@ def _row_transform(cones, dtype):
             soc_blocks.append((kind, off, dim))
         elif kind == "psd":
             psd_blocks.append((off, dim))
+        elif allow_ns and kind in ("exp", "pow", "dual_exp", "dual_pow"):
+            ns_blocks_src.append((kind, off, prm))
         else:  # exhaustive: never silently rotate an unknown kind
             raise ValueError(f"_row_transform: unsupported cone kind {kind!r}")
     row = 0
@@ -112,7 +119,18 @@ def _row_transform(cones, dtype):
             R[row + j, off + j] = 1.0
         psd_sides.append(_tri_side(dim))
         row += dim
+    ns_blocks = []
+    for kind, off, prm in ns_blocks_src:
+        for j in range(3):
+            R[row + j, off + j] = 1.0
+        ns_blocks.append((kind, None if prm is None else float(prm)))
+        row += 3
     assert row == m
+    if allow_ns:
+        return (
+            jnp.asarray(R, dtype), p, l, tuple(soc_dims), tuple(psd_sides),
+            tuple(ns_blocks),
+        )
     return jnp.asarray(R, dtype), p, l, tuple(soc_dims), tuple(psd_sides)
 
 
@@ -729,7 +747,14 @@ def solve_batched_fused(
         return conicsolver.solve_batched(cp, tol=tol)
 
     if not supports(cp.cones):
-        # exp/pow blocks: the DR splitting is the general solver
+        from . import conic_nsipm
+
+        if conic_nsipm.supports(cp.cones) and any(
+            k != "zero" for k, _, _ in cp.cones.blocks
+        ):
+            # exp/pow blocks: the nonsymmetric-cone PDIPM (~30-80 Newton
+            # steps; its max_iters default is its own config knob)
+            return conic_nsipm.solve_batched(cp, max_iters=max_iters, tol=tol)
         return _dr_fallback()
     if max_iters is None:
         max_iters = cfg.ipm_max_iters

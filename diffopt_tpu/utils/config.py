@@ -51,6 +51,15 @@ class DiffOptConfig:
     ipm_tol_f32: float = 5e-6
     ipm_reg_f64: float = 1e-11
     ipm_reg_f32: float = 1e-7
+    # nonsymmetric-cone PDIPM (exp/pow/dual_exp/dual_pow + symmetric mix):
+    # dual-scaling steps are shorter than NT steps, so the cap is higher;
+    # the f64 tolerance is looser than the NT IPM's because the dual-scaling
+    # Hessian conditions like 1/mu^2 (vs 1/mu for NT scalings) — the last
+    # decade of gap costs ~10x the iterations, and the HSDE Newton polish
+    # recovers solution accuracy post-hoc where it matters
+    nsipm_max_iters: int = 150
+    nsipm_tol_f64: float = 1e-8
+    nsipm_tol_f32: float = 5e-6
     # DR/ADMM splitting (general cones: + exp/pow)
     dr_max_iters: int = 20000
     dr_tol_f64: float = 1e-10
@@ -90,6 +99,11 @@ class DiffOptConfig:
 
     def ipm_reg(self, dtype) -> float:
         return self.ipm_reg_f64 if dtype == jnp.float64 else self.ipm_reg_f32
+
+    def nsipm_tol(self, dtype) -> float:
+        return (
+            self.nsipm_tol_f64 if dtype == jnp.float64 else self.nsipm_tol_f32
+        )
 
     def dr_tol(self, dtype) -> float:
         return self.dr_tol_f64 if dtype == jnp.float64 else self.dr_tol_f32

@@ -72,8 +72,9 @@ def test_fused_mixed_cones_matches_xla_ipm():
 
 
 def test_fused_fallback_unsupported():
-    """exp-cone programs route through solve_batched_fused to the DR solver
-    (not a ValueError): batched entropy program, one instance."""
+    """exp-cone programs route through solve_batched_fused to the
+    nonsymmetric-cone PDIPM (not a ValueError): batched entropy program,
+    one instance."""
     import sys, pathlib as _pl
 
     sys.path.insert(0, str(_pl.Path(__file__).resolve().parent))
