@@ -601,43 +601,42 @@ def _solve_impl(
             jnp.all(jnp.isfinite(jnp.concatenate([sn, yn]))),
         )
 
-    def pred_search(s0, y0, ds, dy, with_prox: bool):
-        """Largest alpha in [0, 1] keeping (s0 + a ds, y0 + a dy) strictly
-        interior to K x K* (and, when with_prox, inside the wide proximity
-        neighborhood) — 30-step bisection; the strictly feasible alphas
-        form an interval containing 0."""
-
-        def ok(a):
-            sn = s0 + a * ds
-            yn = y0 + a * dy
-            good = feasible(sn, yn)
-            if with_prox:
-                mu_n = jnp.dot(sn, yn) / nu_deg
-                good = jnp.logical_and(good, mu_n > 0)
-                prox2 = _prox_sq(lay, sn, yn, mu_n)
-                good = jnp.logical_and(good, prox2 <= (beta_wide * mu_n) ** 2)
-            return good
-
-        one = jnp.asarray(1.0, dt)
-        full = ok(one)
-
-        def body(_, carry):
-            lo, hi = carry
-            mid = 0.5 * (lo + hi)
-            good = ok(mid)
-            return (jnp.where(good, mid, lo), jnp.where(good, hi, mid))
-
-        lo, _ = jax.lax.fori_loop(0, 30, body, (jnp.asarray(0.0, dt), one))
-        return jnp.where(full, one, jnp.asarray(step_frac, dt) * lo)
-
+    # Line searches evaluate a STATIC candidate grid under vmap: one
+    # proximity/feasibility graph executed 32-wide, instead of a sequential
+    # bisection inlining ~60 copies of it into the while_loop body (which
+    # blew XLA's CPU compile past 30 minutes for the vmapped solver —
+    # measured; the grid is also the TPU-friendlier shape: wide vector work
+    # instead of a sequential scalar loop).
+    _PRED_GRID = np.concatenate(
+        [[1.0], step_frac * 0.93 ** np.arange(48)]
+    )  # 1.0, step_frac, step_frac*0.93, ... ~3e-3 (49 candidates)
     _CENT_GRID = np.array(
-        [1.0, 0.7, 0.5, 0.35, 0.25, 0.15, 0.1, 0.05, 0.02], dtype=np.float64
+        [1.0, 0.7, 0.5, 0.35, 0.25, 0.15, 0.1, 0.05, 0.02]
     )
 
+    def _ok_at(s0, y0, ds, dy, with_prox: bool, a):
+        sn = s0 + a * ds
+        yn = y0 + a * dy
+        good = feasible(sn, yn)
+        if with_prox:
+            mu_n = jnp.dot(sn, yn) / nu_deg
+            good = jnp.logical_and(good, mu_n > 0)
+            prox2 = _prox_sq(lay, sn, yn, mu_n)
+            good = jnp.logical_and(good, prox2 <= (beta_wide * mu_n) ** 2)
+        return good
+
+    def pred_search(s0, y0, ds, dy, with_prox: bool):
+        """Largest grid alpha in (0, 1] keeping (s0 + a ds, y0 + a dy)
+        strictly interior to K x K* (and, when with_prox, inside the wide
+        proximity neighborhood)."""
+        grid = jnp.asarray(_PRED_GRID, dt)
+        ok = jax.vmap(partial(_ok_at, s0, y0, ds, dy, with_prox))(grid)
+        return jnp.max(jnp.where(ok, grid, jnp.zeros((), dt)))
+
     def cent_search(s0, y0, ds, dy):
-        """Centering step size: over a static grid of candidates, pick the
-        feasible alpha with the smallest resulting proximity (prox along a
-        centering direction is not monotone, so bisection does not apply)."""
+        """Centering step size: the feasible grid alpha with the smallest
+        resulting proximity (prox along a centering direction is not
+        monotone, so a sup-search does not apply)."""
 
         def prox_at(a):
             sn = s0 + a * ds
@@ -649,7 +648,7 @@ def _solve_impl(
             return jnp.where(good, rel, jnp.asarray(jnp.inf, dt))
 
         grid = jnp.asarray(_CENT_GRID, dt)
-        vals = jnp.stack([prox_at(a) for a in _CENT_GRID])
+        vals = jax.vmap(prox_at)(grid)
         best = jnp.argmin(vals)
         # all-infeasible (cannot happen from a strictly interior iterate,
         # but guard the freeze path): alpha = 0

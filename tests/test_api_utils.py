@@ -295,8 +295,11 @@ def test_context_functional_invalidation_semantics():
         A=jnp.asarray(A), b=jnp.asarray(A @ xstar + sstar),
         c=jnp.asarray(-A.T @ ystar), cones=cones,
     )
-    # "mutate" the program: scale b (same structure, different data)
-    cp2 = ConeProgram(A=cp1.A, b=1.5 * cp1.b, c=cp1.c, cones=cones)
+    # "mutate" the program: scale A (same structure, different data). NB:
+    # scaling b alone would NOT change the derivative — x(b) is piecewise
+    # linear in b, so dx/db is locally constant in b and the "derivative
+    # changed" assert below would be vacuous.
+    cp2 = ConeProgram(A=1.5 * cp1.A, b=cp1.b, c=cp1.c, cones=cones)
 
     kw = dict(solver_kwargs=dict(tol=1e-11))
     ctx1 = ConicDiffContext(cp1, **kw)

@@ -202,8 +202,14 @@ def test_lp_gradients_inside_jit_and_vmap():
             g_batch[i], np.linalg.solve(G.T, 2 * zi), atol=1e-6
         )
 
-    # forward mode through the same cond path
-    jac = jax.jit(jax.jacfwd(loss))(h0)
+    # forward mode through the same cond path (jacfwd needs the custom_jvp
+    # entry; the default custom_vjp one cannot be forward-differentiated)
+    def loss_jvp(h):
+        qp = QuadProgram.make(q=[-1.0, -1.0], G=G, h=h)
+        sol = solve_qp(qp, mode="jvp")
+        return jnp.sum(sol.z**2)
+
+    jac = jax.jit(jax.jacfwd(loss_jvp))(h0)
     np.testing.assert_allclose(jac, g_expected, atol=1e-6)
 
 
