@@ -335,6 +335,25 @@ def _interior_measure(lay: _Layout, u: Array, dual: bool) -> Array:
     return jnp.min(jnp.stack(vals))
 
 
+def _solve3_sym(A: Array, b: Array) -> Array:
+    """Closed-form (Cramer) solve of a symmetric 3x3 system: elementwise
+    cofactors, no LU — the shape XLA vectorizes across batch/grid vmaps."""
+    a00, a01, a02 = A[0, 0], A[0, 1], A[0, 2]
+    a11, a12, a22 = A[1, 1], A[1, 2], A[2, 2]
+    c00 = a11 * a22 - a12 * a12
+    c01 = a02 * a12 - a01 * a22
+    c02 = a01 * a12 - a02 * a11
+    c11 = a00 * a22 - a02 * a02
+    c12 = a01 * a02 - a00 * a12
+    c22 = a00 * a11 - a01 * a01
+    det = a00 * c00 + a01 * c01 + a02 * c02
+    safe = jnp.where(jnp.abs(det) > 1e-300, det, 1.0)
+    x0 = (c00 * b[0] + c01 * b[1] + c02 * b[2]) / safe
+    x1 = (c01 * b[0] + c11 * b[1] + c12 * b[2]) / safe
+    x2 = (c02 * b[0] + c12 * b[1] + c22 * b[2]) / safe
+    return jnp.stack([x0, x1, x2])
+
+
 def _prox_sq(lay: _Layout, s: Array, y: Array, mu: Array) -> Array:
     """Squared central-path proximity ``||y + mu grad F(s)||^2_{H(s)^{-1}}``
     (Skajaa–Ye / alfonso neighborhood). ``prox <= beta * mu`` with beta < 1
@@ -365,11 +384,13 @@ def _prox_sq(lay: _Layout, s: Array, y: Array, mu: Array) -> Array:
         sb = s[sl]
         z = y[sl] + mu * jax.grad(F)(sb)
         Hb = jax.hessian(F)(sb)
-        # Jacobi-scaled 3x3 solve (entries span ~1/margin^2; scaling keeps
-        # the LU finite at any conditioning the line search can reach)
+        # Jacobi-scaled closed-form 3x3 solve (entries span ~1/margin^2;
+        # scaling keeps Cramer's rule finite at any conditioning the line
+        # search can reach — and elementwise cofactors vectorize under the
+        # candidate-grid/batch vmaps where XLA's batched LU on TPU does not)
         dj = jnp.sqrt(jnp.diagonal(Hb))
         Hs = Hb / dj[:, None] / dj[None, :]
-        x = jnp.linalg.solve(Hs, z / dj) / dj
+        x = _solve3_sym(Hs, z / dj) / dj
         q = q + jnp.dot(z, x)
     return q
 
