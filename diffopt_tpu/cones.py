@@ -338,6 +338,28 @@ def _proj_exp_primal(v0: Array) -> Array:
     return out
 
 
+def _proj_kkt_dp(a00, a01, a11, g, dv):
+    """Shared closed-form solve of the 3-dim projection-KKT tangent system
+    ``[[A, g], [g', 0]] [dp; dmu] = [dv; 0]`` where ``A = I + mu*H`` has the
+    block shape [[a00, a01, 0], [a01, a11, 0], [0, 0, 1]] (the boundary
+    functions of the exp and power cones have zero z-curvature). Elementwise
+    Cramer on the 2x2 + Schur complement for dmu — vectorizes under batch
+    vmaps where XLA's batched 4x4 LU on TPU does not."""
+    det2 = a00 * a11 - a01 * a01
+    safe2 = jnp.where(jnp.abs(det2) > 1e-300, det2, 1.0)
+
+    def asolve(b):
+        q0 = (a11 * b[0] - a01 * b[1]) / safe2
+        q1 = (a00 * b[1] - a01 * b[0]) / safe2
+        return jnp.stack([q0, q1, b[2]])
+
+    w = asolve(g)
+    u = asolve(dv)
+    denom = jnp.dot(g, w)
+    dmu = jnp.dot(g, u) / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0)
+    return u - dmu * w
+
+
 @_proj_exp_primal.defjvp
 def _proj_exp_primal_jvp(primals, tangents):
     """Closed-form implicit derivative of the exp-cone projection.
@@ -384,24 +406,9 @@ def _proj_exp_primal_jvp(primals, tangents):
     h01 = -exy * x / (y * y)
     h11 = exy * x * x / (y**3)
     # A = I + mu H (symmetric 3x3 with zero z row/col besides the identity)
-    a00 = 1.0 + mu * h00
-    a01 = mu * h01
-    a11 = 1.0 + mu * h11
-    # closed-form solve of A q = b for the two RHS (g and dv): A is
-    # [[a00, a01, 0], [a01, a11, 0], [0, 0, 1]]
-    det2 = a00 * a11 - a01 * a01
-    safe2 = jnp.where(jnp.abs(det2) > 1e-300, det2, 1.0)
-
-    def asolve(b):
-        q0 = (a11 * b[0] - a01 * b[1]) / safe2
-        q1 = (a00 * b[1] - a01 * b[0]) / safe2
-        return jnp.stack([q0, q1, b[2]])
-
-    wv = asolve(g)
-    uv = asolve(dv)
-    denom = jnp.dot(g, wv)
-    dmu = jnp.dot(g, uv) / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0)
-    dp_gen = uv - dmu * wv
+    dp_gen = _proj_kkt_dp(
+        1.0 + mu * h00, mu * h01, 1.0 + mu * h11, g, dv
+    )
 
     # heuristic region r<=0, s<=0: p = (r, 0, max(t, 0))
     dp_special = jnp.stack([
@@ -577,19 +584,14 @@ def _proj_pow_primal_jvp(a, primals, tangents):
     gx = -a * phi / x
     gy = -(1 - a) * phi / y
     g = jnp.stack([gx, gy, sig])
-    # H = -hess(phi); z row/col are zero
+    # H = -hess(phi); z row/col are zero -> same closed-form KKT solve as
+    # the exp cone (no batched 4x4 LU under vmap)
     hxx = -a * (a - 1) * phi / (x * x)
     hxy = -a * (1 - a) * phi / (x * y)
     hyy = -(1 - a) * (-a) * phi / (y * y)
-    H = jnp.array(
-        [[hxx, hxy, 0.0], [hxy, hyy, 0.0], [0.0, 0.0, 0.0]], dt
+    dp_gen = _proj_kkt_dp(
+        1.0 + mu * hxx, mu * hxy, 1.0 + mu * hyy, g, dv
     )
-    M = jnp.zeros((4, 4), dt)
-    M = M.at[:3, :3].set(jnp.eye(3, dtype=dt) + mu * H)
-    M = M.at[:3, 3].set(g)
-    M = M.at[3, :3].set(g)
-    rhs = jnp.concatenate([dv, jnp.zeros((1,), dt)])
-    dp_gen = jnp.linalg.solve(M, rhs)[:3]
     dp = jnp.where(in_cone, dv, jnp.where(in_polar, jnp.zeros(3, dt), dp_gen))
     return p, dp
 

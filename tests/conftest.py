@@ -23,3 +23,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    Every XLA:CPU executable holds mmap'd code sections; a full-suite run
+    compiles thousands of programs and pytest keeps every module's jitted
+    entry points (and their executables) alive, so the process walks into
+    the kernel's vm.max_map_count (default 65530) and LLVM aborts with
+    'Cannot allocate memory' in allocateMappedMemory — reproduced
+    deterministically at ~2/3 through the suite. Dropping the caches at
+    module boundaries keeps the live-mapping count at the per-module peak
+    (cross-module compile reuse is negligible: modules exercise distinct
+    programs)."""
+    yield
+    jax.clear_caches()

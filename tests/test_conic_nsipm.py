@@ -203,6 +203,33 @@ def test_forward_reverse_consistency_exp():
     np.testing.assert_allclose(lhs, rhs, atol=1e-6 * (1 + abs(lhs)))
 
 
+def test_f32_exp_gradients_match_f64_oracle():
+    """f32 exp-cone gradients through solve_conic (nsipm + HSDE polish, the
+    on-TPU configuration) vs the f64 oracle: the polish must hold the error
+    near the f32 representation floor rather than the ~1e-3 complementarity
+    floor of a raw f32 solve."""
+    cp = _entropy_program(3)
+
+    def loss_of(cpx):
+        def loss(b):
+            s = solve_conic(
+                ConeProgram(A=cpx.A, b=b, c=cpx.c, cones=cpx.cones)
+            )
+            return jnp.sum(s.x ** 2)
+
+        return loss
+
+    g64 = jax.grad(loss_of(cp))(cp.b)
+    cp32 = ConeProgram(
+        A=cp.A.astype(jnp.float32), b=cp.b.astype(jnp.float32),
+        c=cp.c.astype(jnp.float32), cones=cp.cones,
+    )
+    g32 = jax.grad(loss_of(cp32))(cp32.b)
+    err = float(jnp.max(jnp.abs(g32.astype(jnp.float64) - g64)))
+    scale = 1.0 + float(jnp.max(jnp.abs(g64)))
+    assert err / scale < 5e-5, (err, scale)
+
+
 def test_rejects_unknown_and_equality_only():
     with pytest.raises(ValueError):
         conic_nsipm.solve(
