@@ -40,7 +40,12 @@ from .solve import (
 )
 from .nlp_diff import NLPProblem, NLPSolution
 from .parameters import ParametricProgram
-from .api import ConicDiffContext, NotSolvedError, QPDiffContext
+from .api import (
+    ConicDiffContext,
+    NLPDiffContext,
+    NotSolvedError,
+    QPDiffContext,
+)
 
 __version__ = "0.1.0"
 
@@ -62,6 +67,7 @@ __all__ = [
     "ParametricProgram",
     "QPDiffContext",
     "ConicDiffContext",
+    "NLPDiffContext",
     "NotSolvedError",
     "native",
     "utils",

@@ -218,26 +218,28 @@ def dU_from_dQ(dQ: Array, U: Array) -> Array:
 def dQ_from_dU(dU: Array, U: Array) -> Array:
     """Return the symmetric ``dQ`` solving ``triu(dU) = 2 triu(U dQ)``
     (``bridges.jl:224-268``) — reverse transport from SOC coordinates back to
-    the quadratic form. Column-by-column triangular solves, unrolled at trace
-    time (n is static)."""
-    n = dU.shape[-1]
-    W = dU / 2.0
-    # process columns j = n-1 .. 0; after processing, W[:, j] holds dQ[:, j]
-    cols = [None] * n
-    for j in range(n - 1, -1, -1):
-        col = W[..., : j + 1, j]
-        if j + 1 < n:
-            later = jnp.stack([cols[k][..., j] for k in range(j + 1, n)], axis=-1)
-            col = col - jnp.einsum(
-                "...ik,...k->...i", U[..., : j + 1, j + 1 :], later
-            )
-        sol = jax.scipy.linalg.solve_triangular(
-            U[..., : j + 1, : j + 1], col[..., None], lower=False
-        )[..., 0]
-        full = jnp.concatenate(
-            [sol, jnp.zeros(dU.shape[:-2] + (n - j - 1,), dU.dtype)], axis=-1
-        )
-        cols[j] = full
-    out = jnp.stack(cols, axis=-1)
-    # symmetrize: lower triangle mirrors upper
-    return jnp.triu(out) + jnp.swapaxes(jnp.triu(out, 1), -1, -2)
+    the quadratic form.
+
+    Closed form (two triangular solves + two matmuls; the reference's
+    two-loop in-place kernel and this package's earlier column-by-column
+    unroll are O(n) sequential — this is the batched/TPU shape): write
+    ``M = U dQ = T + P`` with ``T = triu(dU)/2`` known and ``P`` strictly
+    lower unknown. Symmetry of ``dQ = U^{-1} M`` is equivalent to
+    ``P U' - U P' = U T' - T U' =: K`` (antisymmetric); since ``R = P U'``
+    is strictly lower and ``R - R' = K``, it follows ``R = tril(K, -1)``,
+    then ``P`` and ``dQ`` are triangular solves. Verified to machine
+    precision against the unrolled recursion for n in {3,5,9,16}."""
+    T = jnp.triu(dU) / 2.0
+    Ut = jnp.swapaxes(U, -1, -2)
+    Tt = jnp.swapaxes(T, -1, -2)
+    K = U @ Tt - T @ Ut
+    R = jnp.tril(K, -1)
+    # P U' = R  <=>  U P' = R'
+    Pt = jax.scipy.linalg.solve_triangular(
+        U, jnp.swapaxes(R, -1, -2), lower=False
+    )
+    dQ = jax.scipy.linalg.solve_triangular(
+        U, T + jnp.swapaxes(Pt, -1, -2), lower=False
+    )
+    # symmetric by construction; enforce exactly for downstream seeds
+    return 0.5 * (dQ + jnp.swapaxes(dQ, -1, -2))
