@@ -52,7 +52,9 @@ def make_entropy_batch(B, k=3, seed=0, dtype=jnp.float32):
 def main():
     from diffopt_tpu import solve_conic
 
-    B = 4096
+    # B amortizes the ~26 ms tunnel round-trip (at B=4096 the step is
+    # ~0.14 s, so dispatch was ~19% of wall time)
+    B = 16384
     cp = make_entropy_batch(B)
 
     def loss(cp):

@@ -140,3 +140,28 @@ def test_unit_commitment_prices():
     assert np.all(prices > 0.5)
     # the peak period has the highest price
     assert prices.argmax() == 2
+
+
+def test_entropic_projection_gradient_matches_softmax():
+    """The exp-cone layer's implicit gradient equals the analytic softmax
+    Jacobian-vector product (entropic projection over the simplex IS
+    softmax) — the nonsymmetric-cone example's correctness gate. The full
+    150-step training loop runs in examples/entropic_projection.py."""
+    import jax
+    import jax.numpy as jnp
+    from entropic_projection import entropic_projection
+
+    k = 4
+    target = jnp.asarray(np.array([0.5, 0.25, 0.15, 0.10]))
+
+    def loss(q):
+        p = entropic_projection(q)
+        return jnp.sum((p - target) ** 2)
+
+    q = jnp.asarray([0.3, -0.2, 0.1, 0.0])
+    p0 = jax.nn.softmax(q)
+    g_analytic = (jnp.diag(p0) - jnp.outer(p0, p0)) @ (2 * (p0 - target))
+    g_layer = jax.grad(loss)(q)
+    np.testing.assert_allclose(
+        np.asarray(g_layer), np.asarray(g_analytic), atol=1e-6
+    )
