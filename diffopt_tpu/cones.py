@@ -70,7 +70,8 @@ class ConeSpec:
                 prm = None
             else:
                 k, d, prm = blk
-                prm = float(prm)
+                # accept a spec's own normalized (kind, dim, None) blocks
+                prm = None if prm is None else float(prm)
             norm.append((str(k), int(d), prm))
         blocks = tuple(norm)
         for k, d, prm in blocks:

@@ -140,6 +140,12 @@ def cone_pad_spec(specs: Sequence[ConeSpec]) -> ConeSpec:
                 "heterogeneous batching needs a shared kind sequence"
             )
         (kind,) = kinds
+        prms = {sp.blocks[i][2] for sp in specs if len(sp.blocks) > i}
+        if len(prms) != 1:
+            raise ValueError(
+                f"cone block {i}: mismatched {kind} parameters {sorted(prms)}"
+            )
+        prm = prms.pop()
         if kind == "zero":
             dims = {sp.blocks[i][1] for sp in specs if len(sp.blocks) > i}
             if len(dims) != 1 or any(len(sp.blocks) <= i for sp in specs):
@@ -149,7 +155,7 @@ def cone_pad_spec(specs: Sequence[ConeSpec]) -> ConeSpec:
             blocks.append((kind, dims.pop()))
         else:
             d = max(sp.blocks[i][1] for sp in specs if len(sp.blocks) > i)
-            blocks.append((kind, d))
+            blocks.append((kind, d) if prm is None else (kind, d, prm))
     return ConeSpec(blocks)
 
 
@@ -191,6 +197,28 @@ def pad_cone_program(cp: ConeProgram, target: ConeSpec) -> ConeProgram:
                 if kind == "rsoc" and extra > 1:
                     head = head.at[1].set(1.0)  # (1, 1, 0..): 2tu = 2 > 0
                 b_rows.append(head)
+        elif kind in ("exp", "dual_exp", "pow", "dual_pow"):
+            # fixed 3-dim kinds: the only padding shape is a whole appended
+            # block; s = a strictly interior point (alpha-independent for
+            # the power cones), dual 0 — complementarity with s interior
+            # forces the padded dual to exactly 0, so it stays unique
+            interior = {
+                "exp": [0.0, 1.0, 2.0],        # 1*e^0 = 1 < 2
+                "dual_exp": [-1.0, 1.0, 1.0],  # 1*e^{-1} < e*1
+                "pow": [1.0, 1.0, 0.0],        # 1 > 0
+                "dual_pow": [1.0, 1.0, 0.0],   # (1/a)^a (1/(1-a))^{1-a} > 0
+            }[kind]
+            b_rows.append(jnp.asarray(interior, dt))
+        elif kind == "psd":
+            if s_dim > 0:
+                raise ValueError(
+                    "psd blocks cannot be grown in place (svec interleaving);"
+                    " only whole appended psd blocks are supported"
+                )
+            from ..cones import _tri_side, sym_to_svec
+
+            side = _tri_side(extra)
+            b_rows.append(sym_to_svec(jnp.eye(side, dtype=dt)))
         else:
             raise ValueError(f"cannot pad cone kind {kind!r}")
     return ConeProgram(

@@ -230,6 +230,56 @@ def test_f32_exp_gradients_match_f64_oracle():
     assert err / scale < 5e-5, (err, scale)
 
 
+def test_heterogeneous_nonsymmetric_padding():
+    """Appended exp/pow/dual_exp/dual_pow/psd blocks (zero rows, strictly
+    interior slack) leave the instance's solution intact with forced-zero
+    padded duals — the trailing-block padding shape heterogeneous batching
+    uses when instances have different cone tails (QP/soc analogue:
+    test_api_utils)."""
+    from diffopt_tpu.utils.batching import (
+        cone_pad_spec,
+        pad_cone_program,
+        unpad_cone_solution,
+    )
+
+    cp = _entropy_program(3)
+    target = ConeSpec(
+        list(cp.cones.blocks)
+        + [("exp", 3), ("pow", 3, 0.3), ("dual_exp", 3),
+           ("dual_pow", 3, 0.4), ("psd", 6)]
+    )
+    assert cone_pad_spec([cp.cones, target]) == target
+    pp = pad_cone_program(cp, target)
+    solp, infop = conic_nsipm.solve(pp)
+    sol, info = conic_nsipm.solve(cp)
+    assert bool(infop.converged) and bool(info.converged)
+    np.testing.assert_allclose(
+        np.asarray(solp.x), np.asarray(sol.x), atol=1e-6
+    )
+    m0 = cp.num_rows
+    np.testing.assert_allclose(
+        np.asarray(solp.y[:m0]), np.asarray(sol.y), atol=1e-6
+    )
+    # padded rows: zero dual, slack = the interior padding point
+    np.testing.assert_allclose(np.asarray(solp.y[m0:]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(solp.s[m0:]), np.asarray(pp.b[m0:]), atol=1e-6
+    )
+    un = unpad_cone_solution(
+        jax.tree.map(lambda a: a[None], solp), [cp.cones], target
+    )[0]
+    assert un.y.shape == sol.y.shape
+
+
+def test_pad_spec_rejects_mismatched_pow_alpha():
+    with pytest.raises(ValueError):
+        from diffopt_tpu.utils.batching import cone_pad_spec
+
+        cone_pad_spec(
+            [ConeSpec([("pow", 3, 0.3)]), ConeSpec([("pow", 3, 0.4)])]
+        )
+
+
 def test_rejects_unknown_and_equality_only():
     with pytest.raises(ValueError):
         conic_nsipm.solve(
