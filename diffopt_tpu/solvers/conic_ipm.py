@@ -398,6 +398,9 @@ class _State(NamedTuple):
     s: Array
     it: Array
     done: Array
+    mu_prev: Array
+    err_prev: Array
+    stall: Array
 
 
 def solve(
@@ -681,13 +684,29 @@ def _solve_impl(
         # freeze via select, not alpha = 0: 0 * NaN would poison the state
         step = jnp.logical_and(finite, jnp.logical_not(done_now))
         upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
-        done = jnp.logical_or(done_now, jnp.logical_not(finite))
+        # stagnation exit: a vmapped batch runs in lockstep until EVERY
+        # instance exits, so a few stuck instances (neither mu nor the
+        # residual metrics contracting for 5 consecutive iterations) would
+        # otherwise drag the whole batch to max_iters (measured on the SDP
+        # bench: median 8 iterations, lockstep 50)
+        err = jnp.maximum(pres, jnp.maximum(dres, gaprel))
+        stalled_now = jnp.logical_and(
+            mu > 0.98 * st.mu_prev, err > 0.98 * st.err_prev
+        )
+        stall = jnp.where(stalled_now, st.stall + 1, jnp.asarray(0, jnp.int32))
+        done = jnp.logical_or(
+            done_now, jnp.logical_or(jnp.logical_not(finite), stall >= 5)
+        )
         return _State(
             upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
-            st.it + 1, done,
+            st.it + 1, done, mu, err, stall,
         )
 
-    st0 = _State(x, yE, yC, s, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    st0 = _State(
+        x, yE, yC, s, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
+    )
     st = jax.lax.while_loop(cond, body, st0)
 
     rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
