@@ -71,7 +71,7 @@ def max_to_min(Q: Array, q: Array) -> Tuple[Array, Array]:
 
 
 def qp_to_cone(
-    qp: QuadProgram, quadratic: bool | None = None
+    qp: QuadProgram, quadratic: bool | None = None, psd: bool | None = None
 ) -> ConeProgram:
     """Lower a QuadProgram into conic geometric form.
 
@@ -79,17 +79,24 @@ def qp_to_cone(
     [Gz + s = h, s in R+]. Quadratic objectives lower via the epigraph
     rotated-SOC — the conic-form analogue of the reference's objective-slack
     bridge + QuadtoSOC calculus (``/root/reference/src/copy_dual.jl:103-109``,
-    ``src/bridges.jl:6-21``): with ``Q = U'U`` (Cholesky, Q must be PD),
+    ``src/bridges.jl:6-21``): with ``Q = U'U``,
 
         min 1/2 x'Qx + q'x  ==  min q'x + t  s.t.  (t, 1, Ux) in RSOC
 
     (``2 t * 1 >= ||Ux||^2 = x'Qx``). The lowering is plain differentiable
-    jnp (Cholesky included), so derivative transport through the bridge is
-    the chain rule under jax AD — what ``bridges.jl:109-222`` hand-codes.
+    jnp (factorization included), so derivative transport through the bridge
+    is the chain rule under jax AD — what ``bridges.jl:109-222`` hand-codes.
 
     ``quadratic=None`` auto-detects from a concrete Q (``norm(Q) != 0`` —
     the reference's LP test, ``QuadraticProgram.jl:333``); pass it explicitly
     when Q is a tracer (the cone layout is static structure).
+
+    ``psd`` picks the factorization: ``False`` = Cholesky (Q strictly PD),
+    ``True`` = eigh with eigenvalues clamped at zero, which handles
+    PSD-*singular* Q the way the reference's pivoted Cholesky does
+    (``/root/reference/src/bridges.jl:90-98``). ``None`` auto-detects from a
+    concrete Q (and raises on an indefinite Q instead of silently NaN'ing);
+    tracers default to Cholesky.
     """
     n, p, m = qp.num_vars, qp.num_eq, qp.num_ineq
     if quadratic is None:
@@ -116,8 +123,36 @@ def qp_to_cone(
         return ConeProgram(A=A, b=b, c=qp.q, cones=cones)
 
     dt = qp.Q.dtype
-    L = jnp.linalg.cholesky(qp.Q)
-    U = jnp.swapaxes(L, -1, -2)
+    if psd is None:
+        try:
+            import numpy as _np
+
+            Qc = _np.asarray(jax.core.concrete_or_error(None, qp.Q))
+            w = _np.linalg.eigvalsh(Qc)
+            wmax = float(w.max()) if w.size else 0.0
+            tol_psd = 1e2 * _np.finfo(Qc.dtype).eps * max(wmax, 1.0)
+            if float(w.min()) < -tol_psd:
+                raise ValueError(
+                    "qp_to_cone: Q is indefinite (min eigenvalue "
+                    f"{float(w.min()):.3e}); the epigraph-RSOC lowering "
+                    "requires Q >= 0 (reference: bridges.jl:90-98 errors "
+                    "via pivoted Cholesky)"
+                )
+            psd = float(w.min()) < tol_psd  # singular/semidefinite
+        except ValueError:
+            raise
+        except Exception:
+            psd = False  # tracer Q: assume strictly PD (pass psd= to force)
+    if psd:
+        # eigh factorization U = sqrt(clamp(w, 0)) V': U'U = Q for any PSD Q,
+        # including singular Q where Cholesky produces NaN
+        w, V = jnp.linalg.eigh(qp.Q)
+        U = jnp.sqrt(jnp.maximum(w, 0.0))[..., :, None] * jnp.swapaxes(
+            V, -1, -2
+        )
+    else:
+        L = jnp.linalg.cholesky(qp.Q)
+        U = jnp.swapaxes(L, -1, -2)
     zcol = jnp.zeros(qp.A.shape[:-2] + (p, 1), dt)
     zcol_m = jnp.zeros(qp.G.shape[:-2] + (m, 1), dt)
     A_eq = jnp.concatenate([qp.A, zcol], axis=-1)
@@ -140,7 +175,12 @@ def qp_to_cone(
     return ConeProgram(A=A, b=b, c=c, cones=cones)
 
 
-def qp_via_conic(qp: QuadProgram, quadratic: bool | None = None, **solve_options):
+def qp_via_conic(
+    qp: QuadProgram,
+    quadratic: bool | None = None,
+    psd: bool | None = None,
+    **solve_options,
+):
     """Solve a QuadProgram through the conic backend and map the solution
     back to AK17 QP coordinates — the reference's both-backend route (every
     QP harness case also runs under ``ConicProgram.Model``,
@@ -153,7 +193,7 @@ def qp_via_conic(qp: QuadProgram, quadratic: bool | None = None, **solve_options
     """
     from .solve import solve_conic
 
-    cp = qp_to_cone(qp, quadratic=quadratic)
+    cp = qp_to_cone(qp, quadratic=quadratic, psd=psd)
     sol = solve_conic(cp, **solve_options)
     n, p, m = qp.num_vars, qp.num_eq, qp.num_ineq
     from .ir import QPSolution

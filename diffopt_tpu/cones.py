@@ -428,17 +428,12 @@ def _proj_exp_primal_jvp(primals, tangents):
 
 
 def _exp_root_bracket(r, s, t):
-    """Initial bracket [lo, hi] for the exp-cone Newton in rho (Friberg Alg. 5.1)."""
-
-    def tp(y):  # t>0 branch uses log
-        return y
-
-    # Conservative static bracket; h is monotone increasing in the relevant
-    # region so a wide bracket plus 60 bisection-guarded Newton steps converges
-    # to ~1e-15.
-    lo = jnp.full_like(r, -30.0)
-    hi = jnp.full_like(r, 30.0)
-    return lo, hi
+    """Initial bracket [lo, hi] for the exp-cone Newton in rho (Friberg
+    Alg. 5.1). A conservative static bracket suffices: h is monotone
+    increasing in the relevant region, so [-30, 30] plus 60
+    bisection-guarded Newton steps converges to ~1e-15."""
+    del s, t
+    return jnp.full_like(r, -30.0), jnp.full_like(r, 30.0)
 
 
 def _pi_exp_dual(v: Array) -> Array:

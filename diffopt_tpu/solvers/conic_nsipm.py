@@ -244,12 +244,23 @@ def _psd_inv(v: Array):
     return S, (Q / w[..., None, :]) @ jnp.swapaxes(Q, -1, -2)
 
 
+def _soc_det(sb: Array) -> Array:
+    """SOC Jordan determinant in the factored form (s0-||s1||)(s0+||s1||)
+    with a relative floor — the same f32 cancellation hazard conic_ipm's
+    ``_jdet_sqrt`` guards (near convergence the unfactored s0^2 - ||s1||^2
+    can round to <= 0, turning barrier gradients/Hessians nonfinite)."""
+    eps = 1e-14 if sb.dtype == jnp.float64 else 1e-7
+    nu1 = jnp.linalg.norm(sb[1:])
+    det = (sb[0] - nu1) * (sb[0] + nu1)
+    return jnp.maximum(det, eps * sb[0] ** 2)
+
+
 def _grad_barrier(lay: _Layout, s: Array) -> Array:
     """grad F(s) blockwise on the internal layout."""
     parts = [-1.0 / s[: lay.l]]
     for sl in _soc_slices(lay.l, lay.soc_dims):
         sb = s[sl]
-        det = sb[0] ** 2 - jnp.sum(sb[1:] ** 2)
+        det = _soc_det(sb)
         Js = jnp.concatenate([sb[:1], -sb[1:]])
         parts.append(-2.0 * Js / det)
     for sl in _psd_slices(lay.l, lay.soc_dims, lay.psd_sides):
@@ -281,7 +292,7 @@ def _hbar_pair(lay: _Layout, s: Array, mu: Array, dt):
     for sl in _soc_slices(lay.l, lay.soc_dims):
         sb = s[sl]
         d = sb.shape[0]
-        det = sb[0] ** 2 - jnp.sum(sb[1:] ** 2)
+        det = _soc_det(sb)
         Js = jnp.concatenate([sb[:1], -sb[1:]])
         J = jnp.diag(
             jnp.concatenate([jnp.ones((1,), dt), -jnp.ones((d - 1,), dt)])
@@ -367,7 +378,7 @@ def _prox_sq(lay: _Layout, s: Array, y: Array, mu: Array) -> Array:
     q = q + jnp.sum((s[: lay.l] * y[: lay.l] - mu) ** 2)
     for sl in _soc_slices(lay.l, lay.soc_dims):
         sb, yb = s[sl], y[sl]
-        det = sb[0] ** 2 - jnp.sum(sb[1:] ** 2)
+        det = _soc_det(sb)
         Js = jnp.concatenate([sb[:1], -sb[1:]])
         z = yb - 2.0 * mu * Js / det
         Jz = jnp.concatenate([z[:1], -z[1:]])
@@ -413,6 +424,7 @@ class _State(NamedTuple):
     it: Array
     done: Array
     mu_prev: Array
+    err_prev: Array
     stall: Array
 
 
@@ -629,8 +641,10 @@ def _solve_impl(
     # measured; the grid is also the TPU-friendlier shape: wide vector work
     # instead of a sequential scalar loop).
     _PRED_GRID = np.concatenate(
-        [[1.0], step_frac * 0.93 ** np.arange(48)]
-    )  # 1.0, step_frac, step_frac*0.93, ... ~3e-3 (49 candidates)
+        [[1.0], step_frac * 0.93 ** np.arange(80)]
+    )  # 1.0, step_frac, step_frac*0.93, ... ~3.2e-3 (81 candidates) — the
+    # tail decades below alpha_stall=0.05 let small-but-nonzero predictor
+    # steps exist instead of collapsing straight to the centering branch
     _CENT_GRID = np.array(
         [1.0, 0.7, 0.5, 0.35, 0.25, 0.15, 0.1, 0.05, 0.02]
     )
@@ -731,8 +745,15 @@ def _solve_impl(
         # Hessian conditions like 1/mu^2, so progress hard-stops near
         # sqrt(eps) complementarity), further iterations only burn the
         # batch's wall clock — vmapped batches run until EVERY instance
-        # exits (cf. the NT IPM's freeze-before-step semantics)
-        stalled_now = mu > 0.98 * st.mu_prev
+        # exits (cf. the NT IPM's freeze-before-step semantics). Like the
+        # NT IPM's exit, it requires BOTH mu and the residual error to be
+        # non-contracting: pure-centering recovery iterations deliberately
+        # hold mu ~constant while restoring proximity, and must not be
+        # counted as stalls while the residuals still move.
+        err = jnp.maximum(pres, jnp.maximum(dres, gaprel))
+        stalled_now = jnp.logical_and(
+            mu > 0.98 * st.mu_prev, err > 0.98 * st.err_prev
+        )
         stall = jnp.where(stalled_now, st.stall + 1, jnp.asarray(0, jnp.int32))
         step = jnp.logical_and(finite, jnp.logical_not(done_now))
         upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
@@ -741,12 +762,13 @@ def _solve_impl(
         )
         return _State(
             upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
-            st.it + 1, done, mu, stall,
+            st.it + 1, done, mu, err, stall,
         )
 
     st0 = _State(
         x, yE, yC, s, jnp.asarray(0, jnp.int32), jnp.asarray(False),
-        jnp.asarray(jnp.inf, dt), jnp.asarray(0, jnp.int32),
+        jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
+        jnp.asarray(0, jnp.int32),
     )
     st = jax.lax.while_loop(cond, body, st0)
 

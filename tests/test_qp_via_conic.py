@@ -114,3 +114,34 @@ def test_quadratic_flag_required_under_jit():
     # explicit flag works under jit
     out = jax.jit(lambda q: qp_to_cone(q, quadratic=True).b)(qp)
     assert out.shape == (qp.num_eq + qp.num_ineq + qp.num_vars + 2,)
+
+
+def test_psd_singular_q_lowering():
+    """Semidefinite (singular) Q must lower via the eigh factorization
+    instead of NaN'ing the Cholesky (reference: pivoted Cholesky handles
+    PSD-singular Q, ``bridges.jl:90-98``); indefinite Q must raise."""
+    n = 4
+    rng = np.random.default_rng(7)
+    V = rng.normal(size=(n, 2))
+    Q = V @ V.T  # rank 2: PSD-singular
+    qp = QuadProgram.make(
+        Q=Q,
+        q=rng.normal(size=n),
+        G=np.vstack([np.eye(n), -np.eye(n)]),
+        h=np.ones(2 * n),
+    )
+    cp = qp_to_cone(qp)
+    U = -np.asarray(cp.A)[-n:, :n]
+    np.testing.assert_allclose(U.T @ U, Q, atol=1e-12)
+    assert np.all(np.isfinite(np.asarray(cp.A)))
+    # the lowered program solves and matches the QP backend
+    sol_qp, info = qpsolver.solve(qp, tol=1e-11)
+    assert bool(info.converged)
+    sol_cone = qp_via_conic(qp, tol=1e-11)
+    np.testing.assert_allclose(sol_cone.z, sol_qp.z, atol=1e-6)
+
+    Qi = np.diag(np.array([1.0, -1.0, 2.0, 3.0]))
+    with pytest.raises(ValueError, match="indefinite"):
+        qp_to_cone(
+            QuadProgram.make(Q=Qi, q=np.zeros(4), G=np.eye(4), h=np.ones(4))
+        )
