@@ -240,6 +240,58 @@ def solve(
     return QPSolution(z=st.z, lam=st.lam, nu=st.nu), info
 
 
+def kkt_metrics(
+    qp: QuadProgram, sol: QPSolution, *, tol: float | None = None
+) -> QPSolveInfo:
+    """Post-hoc KKT residual metrics for an externally produced solution —
+    the status source for solve paths that don't carry per-instance solver
+    state (the fused Pallas PDIP). Batch-aware over leading dims.
+
+    ``iterations`` is reported as -1 (unknown); ``converged`` uses the same
+    relative-to-``tol`` thresholds as :func:`solve`'s exit report. The slack
+    is reconstructed as ``max(h - Gz, 0)`` so primal infeasibility shows up
+    as ``max(Gz - h, 0)`` mass in ``primal_residual``.
+    """
+    from ..utils.config import get_config
+
+    dt = qp.Q.dtype
+    if tol is None:
+        tol = get_config().qp_tol(dt)
+    m = qp.num_ineq
+    z, lam, nu = sol.z, sol.lam, sol.nu
+    rd = (
+        jnp.einsum("...ij,...j->...i", qp.Q, z)
+        + qp.q
+        + jnp.einsum("...ji,...j->...i", qp.G, lam)
+        + jnp.einsum("...ji,...j->...i", qp.A, nu)
+    )
+    rp_eq = jnp.einsum("...ij,...j->...i", qp.A, z) - qp.b
+    viol = jnp.maximum(
+        jnp.einsum("...ij,...j->...i", qp.G, z) - qp.h, 0.0
+    )
+    s = jnp.maximum(qp.h - jnp.einsum("...ij,...j->...i", qp.G, z), 0.0)
+    pres = jnp.sqrt(jnp.sum(rp_eq**2, axis=-1) + jnp.sum(viol**2, axis=-1))
+    dres = jnp.linalg.norm(rd, axis=-1)
+    gap = jnp.sum(s * lam, axis=-1)
+    mu_f = gap / m if m else gap
+    conv = jnp.logical_and(
+        pres < 10 * tol, jnp.logical_and(dres < 10 * tol, mu_f < 100 * tol)
+    )
+    conv = jnp.logical_and(
+        conv,
+        jnp.all(jnp.isfinite(z), axis=-1)
+        & jnp.all(jnp.isfinite(lam), axis=-1)
+        & jnp.all(jnp.isfinite(nu), axis=-1),
+    )
+    return QPSolveInfo(
+        iterations=jnp.broadcast_to(jnp.asarray(-1, jnp.int32), conv.shape),
+        primal_residual=pres,
+        dual_residual=dres,
+        duality_gap=gap,
+        converged=conv,
+    )
+
+
 def solve_batched(
     qp: QuadProgram,
     *,

@@ -76,6 +76,15 @@ class DiffOptConfig:
     conic_polish_steps_f64: int = 0
     conic_polish_steps_f32: int = 2
 
+    # --- solve-status semantics ----------------------------------------------
+    # NaN-poison the solution (and hence anything differentiated through it)
+    # of non-converged instances in the solve_* AD entry points: the jit-safe
+    # analogue of the reference's refusal to differentiate non-OPTIMAL solves
+    # (moi_wrapper.jl:550-556,659-670). Off by default (degenerate-but-usable
+    # boundary solves would otherwise poison training loops); pair with
+    # solve_*(..., with_info=True) to inspect instead.
+    nan_on_unconverged: bool = False
+
     # --- embedded NLP interior-point solver ---------------------------------
     nlp_max_iters: int = 100
     nlp_tol: float = 1e-9

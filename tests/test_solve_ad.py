@@ -97,3 +97,103 @@ def test_grad_through_solve_conic():
     # c'x + y'(Ax + s - b)): envelope theorem gives d(opt)/db = -y*.
     # Verified against central finite differences of the ADMM solver.
     np.testing.assert_allclose(g.b, -sol.y, atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Solve-status surfacing (round-2 verdict item 2): unconverged solves must be
+# impossible to miss under jax.grad — the jit-safe analogue of the reference
+# refusing to differentiate non-OPTIMAL solutions (moi_wrapper.jl:550-556).
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+from diffopt_tpu.utils.config import get_config, use_config
+
+
+def test_with_info_vjp_matches_plain():
+    rng = np.random.default_rng(31)
+    qp = _qp(rng)
+
+    def loss(qp):
+        sol, info = solve_qp(qp, with_info=True)
+        return jnp.sum(sol.z**2), info
+
+    (g, info) = jax.grad(loss, has_aux=True)(qp)
+    assert bool(info.converged)
+    g0 = jax.grad(lambda q: jnp.sum(solve_qp(q).z ** 2))(qp)
+    np.testing.assert_allclose(g.q, g0.q, atol=0)
+    np.testing.assert_allclose(g.h, g0.h, atol=0)
+
+
+def test_with_info_jvp_mode():
+    rng = np.random.default_rng(32)
+    qp = _qp(rng)
+    tangent = QuadProgram(
+        Q=jnp.zeros_like(qp.Q),
+        q=jnp.asarray(rng.normal(size=qp.q.shape)),
+        A=jnp.zeros_like(qp.A),
+        b=jnp.zeros_like(qp.b),
+        G=jnp.zeros_like(qp.G),
+        h=jnp.zeros_like(qp.h),
+    )
+    (sol, info), (dsol, dinfo) = jax.jvp(
+        lambda q: solve_qp(q, mode="jvp", with_info=True), (qp,), (tangent,)
+    )
+    assert bool(info.converged)
+    sol0, d0 = jax.jvp(lambda q: solve_qp(q, mode="jvp"), (qp,), (tangent,))
+    np.testing.assert_allclose(dsol.z, d0.z, atol=0)
+
+
+def _unconverged_exp_program():
+    """An exp-cone program the nsipm cannot converge on in the budget —
+    max_iters=2 guarantees non-convergence deterministically."""
+    A = jnp.array(
+        [[-1.0, 0.3, 0.2], [0.1, -1.0, 0.4], [0.2, 0.1, -1.0]]
+    )
+    b = jnp.array([0.4, 0.9, 1.3])
+    c = jnp.array([1.0, 0.5, 0.25])
+    return ConeProgram(A=A, b=b, c=c, cones=ConeSpec([("exp", 3)]))
+
+
+def test_unconverged_conic_surfaces_flag():
+    cp = _unconverged_exp_program()
+
+    def loss(cp):
+        sol, info = solve_conic(cp, with_info=True, max_iters=2, polish=0)
+        return jnp.sum(sol.x**2), info
+
+    g, info = jax.grad(loss, has_aux=True)(cp)
+    assert not bool(info.converged)  # the flag is visible under jax.grad
+
+
+def test_nan_on_unconverged_poisons_gradient():
+    cp = _unconverged_exp_program()
+    cfg = dataclasses.replace(get_config(), nan_on_unconverged=True)
+    with use_config(cfg):
+        def loss(cp):
+            sol = solve_conic(cp, max_iters=2, polish=0)
+            return jnp.sum(sol.x**2)
+
+        val = loss(cp)
+        g = jax.grad(loss)(cp)
+    assert not np.isfinite(float(val))
+    assert not np.all(np.isfinite(np.asarray(g.b)))
+    # converged solves are untouched by the knob
+    rng = np.random.default_rng(33)
+    qp = _qp(rng)
+    with use_config(cfg):
+        val2 = float(jnp.sum(solve_qp(qp).z ** 2))
+    assert np.isfinite(val2)
+
+
+def test_batched_with_info_per_instance():
+    from diffopt_tpu.solve import solve_qp_batched
+
+    rng = np.random.default_rng(34)
+    qps = [_qp(rng) for _ in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
+    sol, info = solve_qp_batched(batch, with_info=True)
+    assert info.converged.shape == (4,)
+    assert bool(jnp.all(info.converged))
+    assert np.all(np.asarray(info.primal_residual) < 1e-3)
