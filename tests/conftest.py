@@ -42,3 +42,63 @@ def _clear_jax_caches_between_modules():
     programs)."""
     yield
     jax.clear_caches()
+
+
+# ---------------------------------------------------------------------------
+# Smoke tier: one fast test per backend / kernel / parallel path, so a
+# regression is catchable inside a session (<5 min) without the ~40-minute
+# fast tier. Run with:  python -m pytest tests/ -m smoke -q
+# (the trailing -m overrides the default "-m 'not slow'" in pytest.ini).
+# ---------------------------------------------------------------------------
+
+_SMOKE_TESTS = {
+    # QP: embedded IPM, golden-file reverse, adjoint identity, fused kernel
+    "test_qp_solver.py::test_simple_qp_eq_ineq",
+    "test_qp_diff.py::test_golden_reverse_gradients",
+    "test_qp_diff.py::test_adjoint_identity",
+    "test_fused_pdip.py::test_fused_matches_staged_and_kkt",
+    # LP / degenerate KKT path
+    "test_linear_programs.py::test_lp_rhs_sensitivity_both_backends",
+    # AD entry points + status surfacing
+    "test_solve_ad.py::test_grad_through_solve_qp",
+    "test_solve_ad.py::test_unconverged_conic_surfaces_flag",
+    # conic: NT IPM, diffcp oracle, adjoint, PSD, exp/pow, fused kernel,
+    # HSDE polish, LSQR
+    "test_conic_ipm.py::test_socp_matches_dr_oracle",
+    "test_conic.py::test_socp_forward_matches_diffcp",
+    "test_conic.py::test_conic_adjoint_identity",
+    "test_conic_ipm_psd.py::test_simple_psd3_through_ipm",
+    "test_conic_nsipm.py::test_entropy_maximization_nsipm",
+    "test_pow_rsoc_programs.py::test_rsoc_program_solve_and_diff",
+    "test_conic_fused.py::test_fused_soc_matches_xla_ipm",
+    "test_conic_polish.py::test_refinement_reduces_residual_from_perturbed_point",
+    "test_lsqr.py::test_conic_lsqr_path_matches_dense",
+    # cones substrate
+    "test_cones.py::test_soc_dpi_matches_jacfwd",
+    "test_cones.py::test_exp_cone_projection",
+    # NLP: solver + sIpopt sensitivity (the solve_nlp AD entry shares the
+    # same reverse rule; its dedicated test lives in the fast tier)
+    "test_nlp_solver.py::test_sipopt_solution",
+    "test_nlp_diff.py::test_sipopt_example",
+    # parameter layer + bridges
+    "test_parameters_bridges.py::test_readme_forward_p",
+    "test_parameters_bridges.py::test_readme_reverse",
+    "test_qp_via_conic.py::test_epigraph_lowering_solution_matches_qp",
+    # contexts + heterogeneous batching
+    "test_api_utils.py::test_context_matches_functional_verbs",
+    "test_api_utils.py::test_pad_and_stack_preserves_solutions",
+    # parallel: Schur coupling, shard_map, tensor-parallel chol, runtime
+    "test_schur.py::test_schur_matches_monolithic",
+    "test_schur.py::test_solve_two_stage_sharded",
+    "test_tp_chol.py::test_tp_cholesky_matches_local",
+    "test_runtime.py::test_global_mesh_covers_all_devices",
+    # native packer
+    "test_native_packer.py::test_pack_coo_matches_numpy",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        short = item.nodeid.rsplit("/", 1)[-1]
+        if short in _SMOKE_TESTS:
+            item.add_marker(pytest.mark.smoke)
