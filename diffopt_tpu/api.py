@@ -197,33 +197,60 @@ class ConicDiffContext:
         if polish:
             sol = refine_solution(cp, sol, steps=polish)
         self.sol = sol
-        M = residual_matrix(cp, sol)
-        dt = M.dtype
-        N = M.shape[-1]
-        delta = 1e-12 if dt == jnp.float64 else 1e-6
-        self._M = M
-        Mt = jnp.swapaxes(M, -1, -2)
-        eye = jnp.eye(N, dtype=dt)
-        # Cache BOTH direction's normal-equation factors (the reference
-        # caches one M and reuses it for forward and reverse,
-        # ``ConicProgram.jl:172-175,336-394``; the true adjoint needs M', so
-        # the gram pair (M'M, MM') plays that role here): every subsequent
-        # forward()/reverse() is triangular solves + refinement.
-        G = Mt @ M
-        scale = jnp.einsum("...ii->...", G)[..., None, None] / N
-        self._lu = jax.scipy.linalg.lu_factor(G + delta * (1.0 + scale) * eye)
-        G2 = M @ Mt
-        scale2 = jnp.einsum("...ii->...", G2)[..., None, None] / N
-        self._lu_t = jax.scipy.linalg.lu_factor(
-            G2 + delta * (1.0 + scale2) * eye
-        )
+        # Size-aware factor cache: past the LSQR threshold, materializing M
+        # (with its (tri, tri) dense DPi blocks per PSD cone) and LU'ing two
+        # gram matrices is the wrong plan — cache the *prepared* matrix-free
+        # operator instead and run LSQR per differentiate call (the
+        # reference's only conic path, ``ConicProgram.jl:323,372``).
+        from .conic_diff import resolve_method, residual_operator
+
+        self._matfree = resolve_method(cp) == "lsqr"
+        if self._matfree:
+            self._mv, self._rmv = residual_operator(cp, sol)
+            self._M = self._lu = self._lu_t = None
+        else:
+            M = residual_matrix(cp, sol)
+            dt = M.dtype
+            N = M.shape[-1]
+            delta = 1e-12 if dt == jnp.float64 else 1e-6
+            self._M = M
+            Mt = jnp.swapaxes(M, -1, -2)
+            eye = jnp.eye(N, dtype=dt)
+            # Cache BOTH direction's normal-equation factors (the reference
+            # caches one M and reuses it for forward and reverse,
+            # ``ConicProgram.jl:172-175,336-394``; the true adjoint needs M',
+            # so the gram pair (M'M, MM') plays that role here): every
+            # subsequent forward()/reverse() is triangular solves +
+            # refinement.
+            G = Mt @ M
+            scale = jnp.einsum("...ii->...", G)[..., None, None] / N
+            self._lu = jax.scipy.linalg.lu_factor(
+                G + delta * (1.0 + scale) * eye
+            )
+            G2 = M @ Mt
+            scale2 = jnp.einsum("...ii->...", G2)[..., None, None] / N
+            self._lu_t = jax.scipy.linalg.lu_factor(
+                G2 + delta * (1.0 + scale2) * eye
+            )
         self.differentiate_time_sec = float("nan")
         self._factor_time_sec = time.perf_counter() - t0
 
     def _gram_solve(self, rhs, transpose):
         """Least-squares solve of M x = rhs (or M' x = rhs) from the cached
         normal-equation factors, with refinement to absorb the ridge and the
-        squared conditioning."""
+        squared conditioning — or LSQR on the cached matrix-free operator
+        past the size threshold (unbatched in that mode)."""
+        if self._matfree:
+            from .ops.lsqr import lsqr
+            from .utils.config import get_config
+
+            mv, rmv = (
+                (self._rmv, self._mv) if transpose else (self._mv, self._rmv)
+            )
+            return lsqr(
+                mv, rmv, rhs, rhs.shape[-1],
+                max_iters=get_config().conic_lsqr_iters,
+            ).x
         M = jnp.swapaxes(self._M, -1, -2) if transpose else self._M
         lu = self._lu_t if transpose else self._lu
 

@@ -254,9 +254,21 @@ def _dpi_psd_tri_apply(v: Array, dv: Array) -> Array:
 
 
 def _dpi_psd_tri_dense(v: Array) -> Array:
+    from .ops.smalleig import eigh_small
+
     tri = v.shape[-1]
+    # one eigh for the whole block (not one per basis column): the vmapped
+    # part is only the cheap congruence U'(.)U per column
+    w, U = eigh_small(svec_to_sym(v))
+    K = _psd_kmat(w, v.dtype)
+    Ut = jnp.swapaxes(U, -1, -2)
     basis = jnp.eye(tri, dtype=v.dtype)
-    cols = jax.vmap(lambda e: _dpi_psd_tri_apply(v, e))(basis)
+
+    def col(e):
+        inner = Ut @ svec_to_sym(e) @ U
+        return sym_to_svec(U @ (K * inner) @ Ut)
+
+    cols = jax.vmap(col)(basis)
     return jnp.swapaxes(cols, 0, 1)
 
 
@@ -691,6 +703,73 @@ def dpi_rmatvec(cones: ConeSpec, v: Array, dv: Array) -> Array:
             )
             outs.append(full)
     return jnp.concatenate(outs, axis=-1) if outs else dv[..., :0]
+
+
+def dpi_operator(cones: ConeSpec, v: Array):
+    """Prepared ``(apply, rapply)`` closures for ``DPi(v)`` / ``DPi(v)'``.
+
+    Per-block factorizations — the PSD eigendecomposition, SOC/RSOC dense
+    blocks, exp/pow projection linearizations — are computed ONCE here and
+    closed over, instead of being recomputed inside every call the way
+    :func:`dpi_apply` does. This is the shape iterative solvers need: the
+    matrix-free LSQR path (``ops/lsqr``, the reference's *only* conic solve,
+    ``ConicProgram.jl:323,372``) applies DPi hundreds of times per solve at
+    a fixed ``v``. Unbatched (``v`` is ``(m,)``); ``vmap`` the caller.
+    """
+    makers = []  # (offset, dim, apply_fn, rapply_fn)
+    for kind, off, d, prm in cones.offsets_params():
+        blk = v[off : off + d]
+        if kind == "zero":
+            f = r = lambda db: db
+        elif kind == "nonneg":
+            mask = blk >= 0
+            f = r = (lambda mask: lambda db: jnp.where(mask, db, 0.0))(mask)
+        elif kind == "nonpos":
+            mask = blk <= 0
+            f = r = (lambda mask: lambda db: jnp.where(mask, db, 0.0))(mask)
+        elif kind in ("soc", "rsoc"):
+            D = _dpi_soc_dense(blk) if kind == "soc" else _dpi_rsoc_dense(blk)
+            f = r = (lambda D: lambda db: D @ db)(D)  # symmetric
+        elif kind == "psd":
+            from .ops.smalleig import eigh_small
+
+            w, U = eigh_small(svec_to_sym(blk))
+            K = _psd_kmat(w, v.dtype)
+            Ut = jnp.swapaxes(U, -1, -2)
+
+            def _mk_psd(U, Ut, K):
+                def apply(db):
+                    inner = Ut @ svec_to_sym(db) @ U
+                    return sym_to_svec(U @ (K * inner) @ Ut)
+
+                return apply
+
+            f = r = _mk_psd(U, Ut, K)  # symmetric
+        elif kind in ("exp", "dual_exp", "pow", "dual_pow"):
+            if kind == "exp":
+                fn = _pi_exp_dual
+            elif kind == "dual_exp":
+                fn = _proj_exp_primal
+            elif kind == "pow":
+                fn = (lambda prm: lambda b: _pi_pow_dual(b, prm))(prm)
+            else:
+                fn = (lambda prm: lambda b: _proj_pow_primal(b, prm))(prm)
+            _, f = jax.linearize(fn, blk)
+            _, vjp = jax.vjp(fn, blk)
+            r = (lambda vjp: lambda db: vjp(db)[0])(vjp)
+        else:  # pragma: no cover
+            raise NotImplementedError(kind)
+        makers.append((off, d, f, r))
+
+    def apply(dv):
+        outs = [f(dv[off : off + d]) for off, d, f, _ in makers]
+        return jnp.concatenate(outs) if outs else dv[:0]
+
+    def rapply(dv):
+        outs = [r(dv[off : off + d]) for off, d, _, r in makers]
+        return jnp.concatenate(outs) if outs else dv[:0]
+
+    return apply, rapply
 
 
 def dpi_dense(cones: ConeSpec, v: Array) -> Array:

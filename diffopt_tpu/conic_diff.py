@@ -76,16 +76,19 @@ def residual_matrix(cp: ConeProgram, sol: ConeSolution) -> Array:
 
 def residual_operator(cp: ConeProgram, sol: ConeSolution):
     """Matrix-free (matvec, rmatvec) for M — applies A, A', and DPi blockwise
-    via :func:`diffopt_tpu.cones.dpi_apply` without materializing the
-    block-diagonal derivative (crucial for large PSD blocks where dense DPi
-    is (tri x tri))."""
+    via a *prepared* :func:`diffopt_tpu.cones.dpi_operator` without
+    materializing the block-diagonal derivative (crucial for large PSD blocks
+    where dense DPi is (tri x tri)); the per-block factorizations (PSD eigh,
+    exp/pow linearizations) are hoisted out of the matvecs so LSQR iterations
+    don't recompute them."""
     A, b, c = cp.A, cp.b, cp.c
     n, m = cp.num_vars, cp.num_rows
     v = sol.y - sol.s
+    dpi_a, dpi_r = _cones.dpi_operator(cp.cones, v)
 
     def matvec(z):
         zu, zv, zw = z[:n], z[n : n + m], z[n + m]
-        dpi_zv = _cones.dpi_apply(cp.cones, v, zv)
+        dpi_zv = dpi_a(zv)
         top = A.T @ dpi_zv + c * zw
         mid = -A @ zu - dpi_zv + zv + b * zw
         bot = -jnp.dot(c, zu) - jnp.dot(b, dpi_zv)
@@ -94,7 +97,7 @@ def residual_operator(cp: ConeProgram, sol: ConeSolution):
     def rmatvec(z):
         zu, zv, zw = z[:n], z[n : n + m], z[n + m]
         # M' = [0, -A', -c; DPi'A, -DPi'+I, -DPi'b; c', b', 0]
-        dpi_t = _cones.dpi_rmatvec(cp.cones, v, A @ zu - zv - b * zw)
+        dpi_t = dpi_r(A @ zu - zv - b * zw)
         top = -A.T @ zv - c * zw
         mid = dpi_t + zv
         bot = jnp.dot(c, zu) + jnp.dot(b, zv)
@@ -105,6 +108,24 @@ def residual_operator(cp: ConeProgram, sol: ConeSolution):
 
 def _solve_M(M: Array, rhs: Array, method: str, refine_iters: int) -> Array:
     return linalg.solve(M, rhs, method, refine_iters=refine_iters)
+
+
+def resolve_method(cp: ConeProgram, method: str | None = None) -> str:
+    """Size-aware dispatch: ``'auto'`` routes to the matrix-free LSQR once
+    ``dim(M) = n + m + 1`` exceeds ``config.conic_lsqr_threshold`` —
+    materializing M for a side-30 SDP means building (465, 465) dense DPi
+    blocks per instance inside every VJP; LSQR (the reference's *only* conic
+    path, ``ConicProgram.jl:323,372``) needs matvecs only. Below the
+    threshold the dense least-squares solve is both faster and more
+    accurate."""
+    from .utils.config import get_config
+
+    if method is None:
+        method = get_config().conic_method
+    if method == "auto":
+        N = cp.num_vars + cp.num_rows + 1
+        return "lsqr" if N > get_config().conic_lsqr_threshold else "lstsq"
+    return method
 
 
 def _solve_system(
@@ -118,14 +139,20 @@ def _solve_system(
     """Solve M z = rhs (or M' z = rhs): dense (materialized) methods, the
     matrix-free 'lsqr' path, or the Pallas 'gram' path (normal equations
     M'M x = M'rhs via the batch-along-lanes Cholesky — the fast batched
-    option on TPU; pairs with refinement to absorb the squared condition)."""
+    option on TPU; pairs with refinement to absorb the squared condition).
+    ``method='auto'`` dispatches by problem size (:func:`resolve_method`)."""
+    method = resolve_method(cp, method)
     if method == "lsqr":
         from .ops.lsqr import lsqr
+        from .utils.config import get_config
 
         mv, rmv = residual_operator(cp, sol)
         if transpose:
             mv, rmv = rmv, mv
-        return lsqr(mv, rmv, rhs, rhs.shape[-1]).x
+        return lsqr(
+            mv, rmv, rhs, rhs.shape[-1],
+            max_iters=get_config().conic_lsqr_iters,
+        ).x
     M = residual_matrix(cp, sol)
     if transpose:
         M = jnp.swapaxes(M, -1, -2)
@@ -182,7 +209,7 @@ def refine_solution(
     sol: ConeSolution,
     *,
     steps: int = 2,
-    method: str = "lstsq",
+    method: str = "auto",
 ) -> ConeSolution:
     """Newton refinement of a conic solution against the HSDE residual map —
     the conic analogue of the QP active-set polish (``ops/kkt.py:qp_polish``).
@@ -238,7 +265,7 @@ def forward_differentiate(
     sol: ConeSolution,
     dcp: ConeTangent,
     *,
-    method: str = "lstsq",
+    method: str = "auto",
     refine_iters: int = 0,
 ) -> ConeForward:
     """JVP of the conic solution map along (dA, db, dc)."""
@@ -274,7 +301,7 @@ def reverse_differentiate(
     dy: Optional[Array] = None,
     ds: Optional[Array] = None,
     *,
-    method: str = "lstsq",
+    method: str = "auto",
     refine_iters: int = 0,
 ) -> ConeTangent:
     """VJP of the conic solution map for cotangents (dx, dy, ds)."""

@@ -67,7 +67,14 @@ class DiffOptConfig:
     dr_relaxation: float = 1.5
 
     # --- conic differentiation ----------------------------------------------
-    conic_method: str = "lstsq"  # 'lstsq' | 'lu' | 'qr' | 'gram' | 'lsqr'
+    # 'auto' = size-aware: dense 'lstsq' below conic_lsqr_threshold, the
+    # matrix-free 'lsqr' above it (materializing M for a side-30 SDP builds
+    # (tri, tri) dense DPi blocks per instance — conic_diff.resolve_method)
+    conic_method: str = "auto"  # 'auto' | 'lstsq' | 'lu' | 'qr' | 'gram' | 'lsqr'
+    conic_lsqr_threshold: int = 500  # dim(M) = n + m + 1 above which 'auto' -> 'lsqr'
+    # LSQR runs to its relative-arnorm tolerance and exits early; the cap
+    # just bounds the while_loop (side-32 SDP converges at ~250 iterations)
+    conic_lsqr_iters: int = 1000
     conic_refine_iters: int = 0
     # Newton polish of the solved point against the HSDE residual map
     # (conic_diff.refine_solution): removes the f32 complementarity floor
