@@ -260,10 +260,18 @@ class ConicDiffContext:
                 jnp.einsum("...ij,...i->...j", M, r)[..., None],
             )[..., 0]
 
-        x = gsolve(rhs)
+        # residuals accumulate in f64 where x64 is live (see linalg.refine)
+        from .utils.precision import residual_dtype
+
+        wdt = M.dtype
+        rdt = residual_dtype(wdt)
+        Mr = M.astype(rdt)
+        rhsr = rhs.astype(rdt)
+        x = gsolve(rhs).astype(rdt)
         for _ in range(2):
-            x = x + gsolve(rhs - jnp.einsum("...ij,...j->...i", M, x))
-        return x
+            r = rhsr - jnp.einsum("...ij,...j->...i", Mr, x)
+            x = x + gsolve(r.astype(wdt)).astype(rdt)
+        return x.astype(wdt)
 
     @full_precision
     def forward(self, dcp):

@@ -358,19 +358,31 @@ def _proj_kkt_dp(a00, a01, a11, g, dv):
     functions of the exp and power cones have zero z-curvature). Elementwise
     Cramer on the 2x2 + Schur complement for dmu — vectorizes under batch
     vmaps where XLA's batched 4x4 LU on TPU does not."""
+    dt = g.dtype
+    tiny = jnp.asarray(jnp.finfo(dt).tiny, dt)  # dtype-relative: 1e-300 == 0 in f32
+    zero = jnp.zeros((), dt)
+    # Every guard acts on PRIMAL-only coefficients: the rule must stay
+    # LINEAR in the tangent dv or jax cannot transpose the custom JVP into
+    # a VJP (isfinite on a tangent-dependent value trips
+    # `is_undefined_primal` during transposition — measured).
+    fz = lambda a: jnp.where(jnp.isfinite(a), a, zero)
     det2 = a00 * a11 - a01 * a01
-    safe2 = jnp.where(jnp.abs(det2) > 1e-300, det2, 1.0)
+    safe2 = jnp.where(jnp.abs(det2) > tiny, det2, 1.0)
+    m00 = fz(a11 / safe2)
+    m01 = fz(-a01 / safe2)
+    m11 = fz(a00 / safe2)
 
     def asolve(b):
-        q0 = (a11 * b[0] - a01 * b[1]) / safe2
-        q1 = (a00 * b[1] - a01 * b[0]) / safe2
-        return jnp.stack([q0, q1, b[2]])
+        return jnp.stack(
+            [m00 * b[0] + m01 * b[1], m01 * b[0] + m11 * b[1], b[2]]
+        )
 
-    w = asolve(g)
+    gf = fz(g)
+    w = fz(asolve(gf))  # primal-only
+    denom = jnp.dot(gf, w)
+    coef = fz(gf / jnp.where(jnp.abs(denom) > tiny, denom, 1.0))
     u = asolve(dv)
-    denom = jnp.dot(g, w)
-    dmu = jnp.dot(g, u) / jnp.where(jnp.abs(denom) > 1e-300, denom, 1.0)
-    return u - dmu * w
+    return u - jnp.dot(coef, u) * w
 
 
 @_proj_exp_primal.defjvp
@@ -408,20 +420,47 @@ def _proj_exp_primal_jvp(primals, tangents):
     )
     special = jnp.logical_and(r <= 0, s <= 0)
 
-    # general branch: boundary point (x, y, z) with z = y e^{x/y}, mu = z - t
+    # general branch: boundary point (x, y, z) with z = y e^{x/y}, mu = z - t.
+    # The Hessian of g(p) = y e^{x/y} - z is RANK-1: H = (e^{x/y}/y) k k' with
+    # k = (1, -x/y, 0), so A = I + mu H inverts in closed form by
+    # Sherman-Morrison. Everything is computed in a scale-invariant form —
+    # unit-norm khat ~ (y, -x), coefficient sigma = q/(1+q) in [0, 1] via its
+    # RECIPROCAL 1/q = (y/hyp)^2 * y^2/(mu z) (products of bounded factors
+    # whose underflow hits the correct limit sigma -> 1), and a unit-norm
+    # gradient ghat ~ (y, y - x, -y^2/z) — because the raw terms e^{x/y}/y,
+    # x/y^2, x^2/y^3 overflow f32 at near-degenerate boundary points with
+    # tiny y (measured: a converged exp-cone program whose VJP seed came
+    # back all-NaN in f32 while f64 survived).
     x = p[0]
     y = jnp.maximum(p[1], jnp.asarray(1e-30, dt))
     z = jnp.maximum(p[2], jnp.asarray(1e-30, dt))
-    exy = z / y  # e^{x/y} on the boundary
-    g = jnp.stack([exy, exy * (1.0 - x / y), -jnp.ones((), dt)])
     mu = jnp.maximum(p[2] - t, 0.0)
-    h00 = exy / y
-    h01 = -exy * x / (y * y)
-    h11 = exy * x * x / (y**3)
-    # A = I + mu H (symmetric 3x3 with zero z row/col besides the identity)
-    dp_gen = _proj_kkt_dp(
-        1.0 + mu * h00, mu * h01, 1.0 + mu * h11, g, dv
-    )
+    # the floored hyp is used EVERYWHERE (x*x + y*y can underflow to 0 for
+    # corner projections p ~ 0; a raw y/hyp = inf then turns sigma into
+    # inf * 0 = NaN — and a NaN primal coefficient poisons the VJP transpose
+    # even when an outer where() selects another branch)
+    hyp = jnp.maximum(jnp.sqrt(x * x + y * y), jnp.asarray(1e-30, dt))
+    khat = jnp.stack([y, -x]) / hyp
+    invq = (y / hyp) ** 2 * (y * y) / jnp.maximum(mu * z, jnp.asarray(1e-38, dt))
+    sigma = 1.0 / (1.0 + invq)
+
+    def ainv(b):
+        b01 = b[:2] - sigma * jnp.dot(khat, b[:2]) * khat
+        return jnp.concatenate([b01, b[2:]])
+
+    # g = e^{x/y} * (1, 1 - x/y, -y/z); scale-invariant in the KKT Schur
+    # complement, so use the bounded multiple (y, y - x, -y^2/z) normalized
+    gbar = jnp.stack([y, y - x, -(y * y) / z])
+    ghat = gbar / jnp.linalg.norm(gbar)
+    # all coefficient sanitization is on PRIMAL-only quantities — the rule
+    # must stay linear in dv so jax can transpose it into the VJP
+    fz = lambda a: jnp.where(jnp.isfinite(a), a, jnp.zeros((), dt))
+    ghat = fz(ghat)
+    w_s = fz(ainv(ghat))  # = A^-1 ghat, primal-only
+    denom = jnp.dot(ghat, w_s)  # = ghat' A^-1 ghat > 0 (A is PD)
+    coefv = fz(ghat / jnp.maximum(denom, jnp.asarray(1e-30, dt)))
+    u_s = ainv(dv)
+    dp_gen = u_s - jnp.dot(coefv, u_s) * w_s
 
     # heuristic region r<=0, s<=0: p = (r, 0, max(t, 0))
     dp_special = jnp.stack([

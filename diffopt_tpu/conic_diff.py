@@ -174,11 +174,19 @@ def _solve_system(
         def gsolve(r):
             return chol_solve(L, jnp.einsum("...ij,...i->...j", M, r))
 
-        x = gsolve(rhs)
+        # refinement residuals accumulate in f64 where x64 is live (the
+        # normal equations square cond(M); mixed-precision refinement is
+        # what recovers the last f32 digits — see linalg.refine)
+        from .utils.precision import residual_dtype
+
+        rdt = residual_dtype(dt)
+        Mr = M.astype(rdt)
+        rhsr = rhs.astype(rdt)
+        x = gsolve(rhs).astype(rdt)
         for _ in range(max(refine_iters, 2)):
-            r = rhs - jnp.einsum("...ij,...j->...i", M, x)
-            x = x + gsolve(r)
-        return x
+            r = rhsr - jnp.einsum("...ij,...j->...i", Mr, x)
+            x = x + gsolve(r.astype(dt)).astype(rdt)
+        return x.astype(dt)
     return _solve_M(M, rhs, method, refine_iters)
 
 
@@ -224,8 +232,22 @@ def refine_solution(
     decreases and the homogenizing w stays positive (diffcp's refine plays
     this role for the reference's ecosystem). Unbatched; ``vmap`` to batch.
     """
+    from .utils.precision import residual_dtype
+
     n, m = cp.num_vars, cp.num_rows
     dt = cp.A.dtype
+    # Mixed precision: the Newton *residual* N(z) and the iterate z live in
+    # the wider accumulation dtype (f64 where x64 is live) while each Newton
+    # step is solved in the working dtype. An f32-evaluated residual floors
+    # the polish at ~eps_f32 * ||data|| backward error; with f64 residuals
+    # the inexact-Newton iteration contracts to the true solution of the
+    # (exactly-representable) f32-data program, so the downstream gradient
+    # sees a solution wrong only by the final f32 rounding of x/y/s.
+    rdt = residual_dtype(dt)
+    cpr = ConeProgram(
+        A=cp.A.astype(rdt), b=cp.b.astype(rdt), c=cp.c.astype(rdt),
+        cones=cp.cones,
+    )
 
     def normalize(z):
         w = z[..., -1]
@@ -238,25 +260,32 @@ def refine_solution(
         piv = _cones.pi(cp.cones, v)
         return ConeSolution(x=x, y=piv, s=piv - v)
 
+    def to_sol_w(z):
+        return to_sol(z.astype(dt))
+
     z = jnp.concatenate(
-        [sol.x, sol.y - sol.s, jnp.ones(sol.x.shape[:-1] + (1,), dt)], axis=-1
+        [
+            sol.x.astype(rdt),
+            (sol.y - sol.s).astype(rdt),
+            jnp.ones(sol.x.shape[:-1] + (1,), rdt),
+        ],
+        axis=-1,
     )
-    best = to_sol(z)
-    best_res = jnp.linalg.norm(residual_map(cp, best), axis=-1)
+    best_res = jnp.linalg.norm(residual_map(cpr, to_sol(z)), axis=-1)
     for _ in range(steps):
-        cur = to_sol(z)
-        Nz = residual_map(cp, cur)
-        dz = _solve_system(cp, cur, Nz, method, 0, transpose=False)
-        z_new, w_ok = normalize(z - dz)
-        cand = to_sol(z_new)
-        res_new = jnp.linalg.norm(residual_map(cp, cand), axis=-1)
+        Nz = residual_map(cpr, to_sol(z))
+        dz = _solve_system(
+            cp, to_sol_w(z), Nz.astype(dt), method, 0, transpose=False
+        )
+        z_new, w_ok = normalize(z - dz.astype(rdt))
+        res_new = jnp.linalg.norm(residual_map(cpr, to_sol(z_new)), axis=-1)
         ok = jnp.logical_and(
             jnp.logical_and(res_new < best_res, w_ok),
             jnp.all(jnp.isfinite(z_new), axis=-1),
         )
         z = jnp.where(ok[..., None], z_new, z)
         best_res = jnp.where(ok, res_new, best_res)
-    return to_sol(z)
+    return to_sol_w(z)
 
 
 @full_precision

@@ -80,15 +80,24 @@ def _solve_psd_with_pinv_fallback(G: Array, rhs: Array) -> Array:
 
 def refine(M: Array, rhs: Array, x: Array, solve_fn, iters: int = 2) -> Array:
     """Iterative refinement: improves ``x ~= M^-1 rhs`` using ``solve_fn`` as
-    the (approximate) inner solver. Recovers extra digits from f32 factors."""
+    the (approximate) inner solver. Residuals and the solution estimate are
+    accumulated in :func:`~diffopt_tpu.utils.precision.residual_dtype` (f64
+    where x64 is live), so the refined f32 forward error floors near the f32
+    storage epsilon rather than ``cond(M) * eps_f32``."""
+    from ..utils.precision import residual_dtype
+
     vec = rhs.ndim == M.ndim - 1
+    wdt = M.dtype
+    rdt = residual_dtype(wdt)
+    Mr = M.astype(rdt)
+    rhsr = rhs.astype(rdt)
 
-    def body(x, _):
-        r = rhs - (M @ x[..., None])[..., 0] if vec else rhs - M @ x
-        return x + solve_fn(M, r), None
+    def body(xr, _):
+        r = rhsr - ((Mr @ xr[..., None])[..., 0] if vec else Mr @ xr)
+        return xr + solve_fn(M, r.astype(wdt)).astype(rdt), None
 
-    x, _ = jax.lax.scan(body, x, None, length=iters)
-    return x
+    xr, _ = jax.lax.scan(body, x.astype(rdt), None, length=iters)
+    return xr.astype(wdt)
 
 
 @full_precision

@@ -35,28 +35,59 @@ def _sweeps_for(d: int, dtype) -> int:
     return base if dtype == jnp.float32 else base + 2
 
 
-def jacobi_eigh(A: Array, sweeps: int | None = None):
+def jacobi_eigh(A: Array, sweeps: int | None = None, vectors: bool = True):
     """Eigendecomposition ``A = V diag(w) V^T`` of a symmetric (..., d, d)
     batch. Eigenvalues are NOT sorted (every in-repo consumer is order-free:
-    eigenvalue floors, matrix functions, min/max reductions)."""
+    eigenvalue floors, matrix functions, min/max reductions).
+
+    Rotations use the Rutishauser tangent formula ``t = sign(tau) /
+    (|tau| + sqrt(1 + tau^2))`` instead of ``atan2``/``cos``/``sin`` — the
+    classical-Jacobi angle computed with two sqrts and a divide, no
+    transcendental-unit traffic (the PSD IPM issues ~10 of these per Newton
+    iteration; the trig path was ~3 transcendentals x d(d-1)/2 pairs x
+    sweeps per call). ``vectors=False`` skips the V accumulation
+    (eigenvalue-only consumers: step-to-boundary minima, cone membership)."""
     d = A.shape[-1]
     dt = A.dtype
     if sweeps is None:
         sweeps = _sweeps_for(d, dt)
     if d == 1:
-        return A[..., 0, 0][..., None], jnp.ones(A.shape, dt)
+        w = A[..., 0, 0][..., None]
+        return (w, jnp.ones(A.shape, dt)) if vectors else (w, None)
 
-    V = jnp.broadcast_to(jnp.eye(d, dtype=dt), A.shape)
+    eps = jnp.asarray(jnp.finfo(dt).eps, dt)
+    V = jnp.broadcast_to(jnp.eye(d, dtype=dt), A.shape) if vectors else None
     for _ in range(sweeps):
         for p in range(d - 1):
             for q in range(p + 1, d):
                 app = A[..., p, p]
                 aqq = A[..., q, q]
                 apq = A[..., p, q]
-                # rotation zeroing A[p,q]: theta = 1/2 atan2(2 apq, aqq - app)
-                theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
-                c = jnp.cos(theta)[..., None]
-                s = jnp.sin(theta)[..., None]
+                # Rutishauser: tan(theta) of the angle zeroing A[p,q] is the
+                # smaller-magnitude root of t^2 + 2 tau t - 1 = 0.
+                # Skip (t = 0) once apq is negligible RELATIVE to the
+                # diagonal — the rotation is a no-op in working precision,
+                # and differentiating through it is the hazard: for
+                # apq ~ 1e-196 (post-convergence), d(tau)/d(apq) divides by
+                # apq^2 which UNDERFLOWS, turning jacfwd through the sweep
+                # into inf/inf = NaN (measured on an all-negative-spectrum
+                # projection input)
+                small = jnp.abs(apq) <= eps * (jnp.abs(app) + jnp.abs(aqq))
+                apq_s = jnp.where(small, 1.0, apq)
+                tau = 0.5 * (aqq - app) / apq_s
+                # hypot, not sqrt(1+tau^2): tau^2 overflows for near-zero
+                # apq and the overflow turns jacfwd THROUGH the sweep into
+                # inf/inf = NaN (cones.py consumers differentiate the
+                # projection as an oracle in tests)
+                t = jnp.where(
+                    small,
+                    0.0,
+                    jnp.where(tau >= 0, 1.0, -1.0)
+                    / (jnp.abs(tau) + jnp.hypot(1.0, tau)),
+                )
+                ct = jnp.hypot(1.0, t)
+                c = (1.0 / ct)[..., None]
+                s = (t / ct)[..., None]
                 # A <- J^T A J with J the (p,q) Givens rotation
                 rowp = A[..., p, :]
                 rowq = A[..., q, :]
@@ -66,10 +97,11 @@ def jacobi_eigh(A: Array, sweeps: int | None = None):
                 colq = A[..., :, q]
                 A = A.at[..., :, p].set(c * colp - s * colq)
                 A = A.at[..., :, q].set(s * colp + c * colq)
-                vp = V[..., :, p]
-                vq = V[..., :, q]
-                V = V.at[..., :, p].set(c * vp - s * vq)
-                V = V.at[..., :, q].set(s * vp + c * vq)
+                if vectors:
+                    vp = V[..., :, p]
+                    vq = V[..., :, q]
+                    V = V.at[..., :, p].set(c * vp - s * vq)
+                    V = V.at[..., :, q].set(s * vp + c * vq)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
     return w, V
 
@@ -85,5 +117,5 @@ def eigh_small(A: Array):
 
 def eigvalsh_small(A: Array) -> Array:
     if A.shape[-1] <= MAX_JACOBI_SIDE:
-        return jacobi_eigh(A)[0]
+        return jacobi_eigh(A, vectors=False)[0]
     return jnp.linalg.eigvalsh(A)

@@ -315,7 +315,7 @@ def solve_conic(
     if method is None:
         method = cfg.conic_method
     if refine_iters is None:
-        refine_iters = cfg.conic_refine_iters
+        refine_iters = cfg.conic_refine(cp.A.dtype)
     if polish is None:
         polish = cfg.conic_polish_steps(cp.A.dtype)
     if solver == "auto":

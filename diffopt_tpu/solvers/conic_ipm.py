@@ -194,9 +194,21 @@ def _jmul(l, soc_dims, psd_sides, u, v):
     return jnp.concatenate(parts, axis=0)
 
 
-def _jsolve(l, soc_dims, psd_sides, lam, d):
+def _lam_psd_eigs(l, soc_dims, psd_sides, lam):
+    """One eigendecomposition of each PSD block of the scaled point lam,
+    shared per Newton iteration by the Lyapunov jsolve and all four
+    step-to-boundary computations (previously each recomputed its own —
+    ~5 extra Jacobi eigh per iteration on the SDP hot path, measured)."""
+    return [
+        eigh_small(_mats(lam[sl]))
+        for sl in _psd_slices(l, soc_dims, psd_sides)
+    ]
+
+
+def _jsolve(l, soc_dims, psd_sides, lam, d, psd_eigs=None):
     """Solve lam o g = d for g (inverse arrow operator per soc block; a
-    Lyapunov solve L G + G L = 2 D via eigh per psd block)."""
+    Lyapunov solve L G + G L = 2 D via eigh per psd block; pass
+    ``psd_eigs`` from :func:`_lam_psd_eigs` to reuse the factorization)."""
     parts = [d[:l] / lam[:l]]
     eps = 1e-14 if lam.dtype == jnp.float64 else 1e-7
     for sl in _soc_slices(l, soc_dims):
@@ -207,10 +219,12 @@ def _jsolve(l, soc_dims, psd_sides, lam, d):
         g0 = (lb[0] * db[0] - jnp.sum(lb[1:] * db[1:], axis=0)) / det
         g1 = (db[1:] - jnp.multiply.outer(lb[1:], g0)) / lb[0]
         parts.append(jnp.concatenate([g0[None], g1], axis=0))
-    for sl in _psd_slices(l, soc_dims, psd_sides):
-        L = _mats(lam[sl])  # (d, d), PD at the scaled point
+    for k, sl in enumerate(_psd_slices(l, soc_dims, psd_sides)):
         D = _mats(d[sl])
-        w, Q = eigh_small(L)
+        if psd_eigs is None:
+            w, Q = eigh_small(_mats(lam[sl]))
+        else:
+            w, Q = psd_eigs[k]
         denom = w[..., :, None] + w[..., None, :]
         floor = eps * jnp.max(jnp.abs(w), axis=-1)[..., None, None]
         denom = jnp.where(jnp.abs(denom) > floor, denom, floor)
@@ -349,6 +363,30 @@ def _w_apply(l, soc_dims, psd_sides, sc: _Scaling, u, inv: bool):
     return jnp.concatenate(parts, axis=0)
 
 
+def _soc_boundary_step(ub, db, big):
+    """Step-to-boundary for one soc block: smallest positive root of
+    (u0+a d0)^2 - ||u1+a d1||^2 = a^2 qa + a qb + qc = 0 (qc > 0 inside)."""
+    qa = db[0] ** 2 - jnp.sum(db[1:] ** 2)
+    qb = 2.0 * (ub[0] * db[0] - jnp.sum(ub[1:] * db[1:]))
+    nu1 = jnp.linalg.norm(ub[1:])
+    qc = jnp.maximum((ub[0] - nu1) * (ub[0] + nu1), 0.0)
+    disc = qb**2 - 4.0 * qa * qc
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    safe_a = jnp.where(jnp.abs(qa) > 1e-30, qa, 1.0)
+    r1 = (-qb - sq) / (2.0 * safe_a)
+    r2 = (-qb + sq) / (2.0 * safe_a)
+    rlin = jnp.where(qb < 0, -qc / jnp.where(qb < 0, qb, 1.0), big)
+    quad_root = jnp.minimum(
+        jnp.where(r1 > 0, r1, big), jnp.where(r2 > 0, r2, big)
+    )
+    root = jnp.where(
+        jnp.abs(qa) > 1e-30, jnp.where(disc >= 0, quad_root, big), rlin
+    )
+    # exit through u0 = 0 (cap when the head decreases)
+    cap = jnp.where(db[0] < 0, -ub[0] / jnp.where(db[0] < 0, db[0], 1.0), big)
+    return jnp.minimum(root, cap)
+
+
 def _max_step(l, soc_dims, psd_sides, u, du, dt):
     """Largest alpha in (0,1] keeping u + alpha du in the cone interior
     (fraction-to-boundary applied by the caller)."""
@@ -366,28 +404,44 @@ def _max_step(l, soc_dims, psd_sides, u, du, dt):
             amax, jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big)
         )
     for sl in _soc_slices(l, soc_dims):
-        ub, db = u[sl], du[sl]
-        # exit through the cone boundary: smallest positive root of
-        # (u0+a d0)^2 - ||u1+a d1||^2 = a^2 qa + a qb + qc = 0 (qc > 0 inside)
-        qa = db[0] ** 2 - jnp.sum(db[1:] ** 2)
-        qb = 2.0 * (ub[0] * db[0] - jnp.sum(ub[1:] * db[1:]))
-        nu1 = jnp.linalg.norm(ub[1:])
-        qc = jnp.maximum((ub[0] - nu1) * (ub[0] + nu1), 0.0)
-        disc = qb**2 - 4.0 * qa * qc
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        safe_a = jnp.where(jnp.abs(qa) > 1e-30, qa, 1.0)
-        r1 = (-qb - sq) / (2.0 * safe_a)
-        r2 = (-qb + sq) / (2.0 * safe_a)
-        rlin = jnp.where(qb < 0, -qc / jnp.where(qb < 0, qb, 1.0), big)
-        quad_root = jnp.minimum(
-            jnp.where(r1 > 0, r1, big), jnp.where(r2 > 0, r2, big)
+        amax = jnp.minimum(amax, _soc_boundary_step(u[sl], du[sl], big))
+    return jnp.minimum(jnp.asarray(1.0, dt), amax)
+
+
+def _lam_psd_isqrts(psd_eigs, eps, dt):
+    """lam_blk^{-1/2} per psd block from the shared eigendecomposition."""
+    out = []
+    for w, Q in psd_eigs:
+        wf = jnp.maximum(
+            w, eps * jnp.maximum(jnp.max(w, axis=-1), 0.0)[..., None]
         )
-        root = jnp.where(
-            jnp.abs(qa) > 1e-30, jnp.where(disc >= 0, quad_root, big), rlin
+        wf = jnp.maximum(wf, jnp.asarray(1e-30, dt))
+        out.append((Q / jnp.sqrt(wf)[..., None, :]) @ jnp.swapaxes(Q, -1, -2))
+    return out
+
+
+def _max_step_scaled(l, soc_dims, psd_sides, lam, dlam, psd_isqrts, dt):
+    """Step-to-boundary in the NT-scaled space: W is a cone automorphism, so
+    the largest alpha with lam + alpha*dlam in K equals the unscaled
+    :func:`_max_step` on (s, ds) / (y, dy) — but both primal and dual steps
+    share the SAME scaled point lam, so one shared lam eigendecomposition
+    (:func:`_lam_psd_eigs`) serves all four per-iteration step computations:
+    each psd block costs one congruence + eigvalsh here instead of a fresh
+    sqrt-pair eigh + eigvalsh (measured ~5 eigh/iteration saved on SDPs)."""
+    big = jnp.asarray(jnp.inf, dt)
+    ratio = jnp.where(dlam[:l] < 0, -lam[:l] / dlam[:l], big)
+    amax = jnp.min(ratio, initial=jnp.inf)
+    for k, sl in enumerate(_psd_slices(l, soc_dims, psd_sides)):
+        isq = psd_isqrts[k]
+        lmin = jnp.min(
+            eigvalsh_small(isq @ _mats(dlam[sl]) @ isq), axis=-1
         )
-        # exit through u0 = 0 (cap when the head decreases)
-        cap = jnp.where(db[0] < 0, -ub[0] / jnp.where(db[0] < 0, db[0], 1.0), big)
-        amax = jnp.minimum(amax, jnp.minimum(root, cap))
+        amax = jnp.minimum(
+            amax,
+            jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big),
+        )
+    for sl in _soc_slices(l, soc_dims):
+        amax = jnp.minimum(amax, _soc_boundary_step(lam[sl], dlam[sl], big))
     return jnp.minimum(jnp.asarray(1.0, dt), amax)
 
 
@@ -482,7 +536,6 @@ def _solve_impl(
     jsolve = partial(_jsolve, l, soc_dims, psd_sides)
     W = lambda sc, u: _w_apply(l, soc_dims, psd_sides, sc, u, inv=False)
     Winv = lambda sc, u: _w_apply(l, soc_dims, psd_sides, sc, u, inv=True)
-    max_step = partial(_max_step, l, soc_dims, psd_sides)
 
     def residuals(x, yE, yC, s):
         rd = c + AC.T @ yC + (AE.T @ yE if p else 0.0)
@@ -656,25 +709,32 @@ def _solve_impl(
         sc = _nt_scaling(l, soc_dims, psd_sides, s, yC)
         K = factor(sc)
         lam = Winv(sc, s)  # = W yC
+        # step-to-boundary runs in the scaled space: primal and dual both
+        # step from the SAME point lam, so one eigendecomposition per psd
+        # block serves the Lyapunov jsolve and all four step computations
+        lam_eigs = _lam_psd_eigs(l, soc_dims, psd_sides, lam)
+        eps_sc = 1e-14 if dt == jnp.float64 else 1e-7
+        lam_isq = _lam_psd_isqrts(lam_eigs, eps_sc, dt)
+        mstep = lambda dlam: _max_step_scaled(
+            l, soc_dims, psd_sides, lam, dlam, lam_isq, dt
+        )
 
         # predictor (affine): lam o (W dy + W^-1 ds) = -lam o lam  =>  g = lam
         dxa, dyEa, dyCa, dsa = solve_dir(K, sc, rd, rpE, rpC, lam)
-        a_p = max_step(s, dsa, dt)
-        a_d = max_step(yC, dyCa, dt)
+        dsa_s = Winv(sc, dsa)  # scaled directions, reused by the corrector
+        dya_s = W(sc, dyCa)
+        a_p = mstep(dsa_s)
+        a_d = mstep(dya_s)
         mu_aff = jnp.dot(s + a_p * dsa, yC + a_d * dyCa) / nu_deg
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
 
         # corrector with Mehrotra second-order term in the scaled variables
-        comp = (
-            jmul(lam, lam)
-            + jmul(Winv(sc, dsa), W(sc, dyCa))
-            - (sigma * mu) * e
-        )
-        g = jsolve(lam, comp)
+        comp = jmul(lam, lam) + jmul(dsa_s, dya_s) - (sigma * mu) * e
+        g = jsolve(lam, comp, psd_eigs=lam_eigs)
         dx, dyE, dyC, ds = solve_dir(K, sc, rd, rpE, rpC, g)
 
         frac = jnp.asarray(step_frac, dt)
-        alpha = frac * jnp.minimum(max_step(s, ds, dt), max_step(yC, dyC, dt))
+        alpha = frac * jnp.minimum(mstep(Winv(sc, ds)), mstep(W(sc, dyC)))
         alpha = jnp.minimum(alpha, jnp.asarray(1.0, dt))
 
         finite = jnp.logical_and(

@@ -641,10 +641,15 @@ def _solve_impl(
     # measured; the grid is also the TPU-friendlier shape: wide vector work
     # instead of a sequential scalar loop).
     _PRED_GRID = np.concatenate(
-        [[1.0], step_frac * 0.93 ** np.arange(80)]
-    )  # 1.0, step_frac, step_frac*0.93, ... ~3.2e-3 (81 candidates) — the
+        [[1.0], step_frac * 0.8 ** np.arange(27)]
+    )  # 1.0, step_frac, step_frac*0.8, ... ~3.0e-3 (28 candidates) — the
     # tail decades below alpha_stall=0.05 let small-but-nonzero predictor
-    # steps exist instead of collapsing straight to the centering branch
+    # steps exist instead of collapsing straight to the centering branch.
+    # Ratio 0.8 (not 0.93): every candidate evaluates the full
+    # proximity/feasibility graph batch-wide, so grid width is the
+    # dominant per-iteration cost (measured: the exp-family bench is
+    # line-search-bound), and a Mehrotra step within 20% of the largest
+    # admissible alpha costs at most ~1 extra iteration.
     _CENT_GRID = np.array(
         [1.0, 0.7, 0.5, 0.35, 0.25, 0.15, 0.1, 0.05, 0.02]
     )

@@ -76,6 +76,11 @@ class DiffOptConfig:
     # just bounds the while_loop (side-32 SDP converges at ~250 iterations)
     conic_lsqr_iters: int = 1000
     conic_refine_iters: int = 0
+    # f32 M-solves refine by default: with residual_dtype accumulation the
+    # two passes take the lstsq/gram forward error from ~cond^2 * eps_f32
+    # down to ~the f32 storage epsilon (the last factor between 1e-5 and
+    # 1e-6 conic gradients; f64 solves already sit at ~1e-9 unrefined)
+    conic_refine_iters_f32: int = 2
     # Newton polish of the solved point against the HSDE residual map
     # (conic_diff.refine_solution): removes the f32 complementarity floor
     # from conic gradients the way qp_polish does for QPs. f64 solves already
@@ -123,6 +128,13 @@ class DiffOptConfig:
 
     def dr_tol(self, dtype) -> float:
         return self.dr_tol_f64 if dtype == jnp.float64 else self.dr_tol_f32
+
+    def conic_refine(self, dtype) -> int:
+        return (
+            self.conic_refine_iters
+            if dtype == jnp.float64
+            else max(self.conic_refine_iters, self.conic_refine_iters_f32)
+        )
 
     def conic_polish_steps(self, dtype) -> int:
         return (

@@ -18,6 +18,23 @@ from functools import wraps
 import jax
 
 
+def residual_dtype(dt):
+    """Accumulation dtype for iterative-refinement residuals.
+
+    Classic mixed-precision refinement: factor/solve in the working dtype,
+    accumulate residuals (and the solution estimate) in a wider one. With
+    f64 residuals the refined forward error floors at the *storage* epsilon
+    of the working dtype instead of ``cond * eps`` — the difference between
+    ~1e-5 and ~1e-6 f32 conic gradients on ill-scaled M systems. Returns f64
+    only when x64 is live (CPU, or TPU with ``jax_enable_x64``); on a pure
+    f32 TPU stack this degrades gracefully to same-dtype refinement."""
+    import jax.numpy as jnp
+
+    if dt == jnp.float64:
+        return dt
+    return jnp.float64 if jax.config.jax_enable_x64 else dt
+
+
 def full_precision(fn):
     """Decorator: trace ``fn`` under ``jax.default_matmul_precision('highest')``."""
 
