@@ -441,7 +441,14 @@ def _proj_exp_primal_jvp(primals, tangents):
     # even when an outer where() selects another branch)
     hyp = jnp.maximum(jnp.sqrt(x * x + y * y), jnp.asarray(1e-30, dt))
     khat = jnp.stack([y, -x]) / hyp
-    invq = (y / hyp) ** 2 * (y * y) / jnp.maximum(mu * z, jnp.asarray(1e-38, dt))
+    # the floor must be a NORMAL number: 1e-38 is subnormal in f32 and the
+    # TPU/XLA flush-to-zero mode rounds it to 0, so max(0, floor) = 0 and
+    # invq = 0/0 = NaN — which poisons the VJP transpose of this rule even
+    # when an outer where() selects another branch (measured: an exp-dual
+    # projection at a special-region point returned all-NaN f32 cotangents)
+    invq = (y / hyp) ** 2 * (y * y) / jnp.maximum(
+        mu * z, jnp.asarray(jnp.finfo(dt).tiny, dt)
+    )
     sigma = 1.0 / (1.0 + invq)
 
     def ainv(b):

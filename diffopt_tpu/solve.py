@@ -510,9 +510,15 @@ def _make_solve_conic_batched_vjp(
     def _solve(cp: ConeProgram):
         sol, info = solve_batched_fused(cp, max_iters=max_iters, tol=tol)
         if polish:
-            sol = conic_diff.refine_solution(
-                cp, sol, steps=polish, method="gram"
-            )
+            # refine_solution is unbatched (exp/pow projection scans index
+            # leading axes); the symmetric-cone blocks merely tolerated the
+            # batched call via broadcasting — vmap is the correct route
+            sol = jax.vmap(
+                lambda A, b, c, s: conic_diff.refine_solution(
+                    ConeProgram(A=A, b=b, c=c, cones=cp.cones),
+                    s, steps=polish, method="gram",
+                )
+            )(cp.A, cp.b, cp.c, sol)
         if poison:
             sol = _poison_unconverged(sol, info.converged)
         return (sol, info) if with_info else sol
