@@ -420,29 +420,37 @@ def _lam_psd_isqrts(psd_eigs, eps, dt):
     return out
 
 
-def _max_step_scaled(l, soc_dims, psd_sides, lam, dlam, psd_isqrts, dt):
-    """Step-to-boundary in the NT-scaled space: W is a cone automorphism, so
-    the largest alpha with lam + alpha*dlam in K equals the unscaled
-    :func:`_max_step` on (s, ds) / (y, dy) — but both primal and dual steps
-    share the SAME scaled point lam, so one shared lam eigendecomposition
-    (:func:`_lam_psd_eigs`) serves all four per-iteration step computations:
-    each psd block costs one congruence + eigvalsh here instead of a fresh
-    sqrt-pair eigh + eigvalsh (measured ~5 eigh/iteration saved on SDPs)."""
+def _max_step_scaled_pair(l, soc_dims, psd_sides, lam, dlam_a, dlam_b, psd_isqrts, dt):
+    """Two step-to-boundary computations from the same scaled point lam
+    (primal and dual directions of one predictor/corrector solve), with the
+    per-psd-block congruence + eigvalsh STACKED into one batched call — the
+    Jacobi eigensolver's rotation sweep is op-count-bound on TPU, so running
+    it once on a (2, d, d) stack instead of twice on (d, d) halves the
+    dominant dispatch cost of the SDP step computations."""
     big = jnp.asarray(jnp.inf, dt)
-    ratio = jnp.where(dlam[:l] < 0, -lam[:l] / dlam[:l], big)
-    amax = jnp.min(ratio, initial=jnp.inf)
+    amaxes = []
+    for dlam in (dlam_a, dlam_b):
+        ratio = jnp.where(dlam[:l] < 0, -lam[:l] / dlam[:l], big)
+        amaxes.append(jnp.min(ratio, initial=jnp.inf))
     for k, sl in enumerate(_psd_slices(l, soc_dims, psd_sides)):
         isq = psd_isqrts[k]
-        lmin = jnp.min(
-            eigvalsh_small(isq @ _mats(dlam[sl]) @ isq), axis=-1
+        pair = jnp.stack(
+            [isq @ _mats(dlam_a[sl]) @ isq, isq @ _mats(dlam_b[sl]) @ isq]
         )
-        amax = jnp.minimum(
-            amax,
-            jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big),
-        )
+        lmins = jnp.min(eigvalsh_small(pair), axis=-1)
+        for i in range(2):
+            lmin = lmins[i]
+            amaxes[i] = jnp.minimum(
+                amaxes[i],
+                jnp.where(lmin < 0, -1.0 / jnp.where(lmin < 0, lmin, -1.0), big),
+            )
     for sl in _soc_slices(l, soc_dims):
-        amax = jnp.minimum(amax, _soc_boundary_step(lam[sl], dlam[sl], big))
-    return jnp.minimum(jnp.asarray(1.0, dt), amax)
+        for i, dlam in enumerate((dlam_a, dlam_b)):
+            amaxes[i] = jnp.minimum(
+                amaxes[i], _soc_boundary_step(lam[sl], dlam[sl], big)
+            )
+    one = jnp.asarray(1.0, dt)
+    return jnp.minimum(one, amaxes[0]), jnp.minimum(one, amaxes[1])
 
 
 class _State(NamedTuple):
@@ -715,16 +723,15 @@ def _solve_impl(
         lam_eigs = _lam_psd_eigs(l, soc_dims, psd_sides, lam)
         eps_sc = 1e-14 if dt == jnp.float64 else 1e-7
         lam_isq = _lam_psd_isqrts(lam_eigs, eps_sc, dt)
-        mstep = lambda dlam: _max_step_scaled(
-            l, soc_dims, psd_sides, lam, dlam, lam_isq, dt
+        mstep_pair = lambda da, db_: _max_step_scaled_pair(
+            l, soc_dims, psd_sides, lam, da, db_, lam_isq, dt
         )
 
         # predictor (affine): lam o (W dy + W^-1 ds) = -lam o lam  =>  g = lam
         dxa, dyEa, dyCa, dsa = solve_dir(K, sc, rd, rpE, rpC, lam)
         dsa_s = Winv(sc, dsa)  # scaled directions, reused by the corrector
         dya_s = W(sc, dyCa)
-        a_p = mstep(dsa_s)
-        a_d = mstep(dya_s)
+        a_p, a_d = mstep_pair(dsa_s, dya_s)
         mu_aff = jnp.dot(s + a_p * dsa, yC + a_d * dyCa) / nu_deg
         sigma = jnp.clip((mu_aff / jnp.maximum(mu, 1e-300)) ** 3, 0.0, 1.0)
 
@@ -734,7 +741,8 @@ def _solve_impl(
         dx, dyE, dyC, ds = solve_dir(K, sc, rd, rpE, rpC, g)
 
         frac = jnp.asarray(step_frac, dt)
-        alpha = frac * jnp.minimum(mstep(Winv(sc, ds)), mstep(W(sc, dyC)))
+        a_cp, a_cd = mstep_pair(Winv(sc, ds), W(sc, dyC))
+        alpha = frac * jnp.minimum(a_cp, a_cd)
         alpha = jnp.minimum(alpha, jnp.asarray(1.0, dt))
 
         finite = jnp.logical_and(

@@ -641,17 +641,17 @@ def _solve_impl(
     # measured; the grid is also the TPU-friendlier shape: wide vector work
     # instead of a sequential scalar loop).
     _PRED_GRID = np.concatenate(
-        [[1.0], step_frac * 0.8 ** np.arange(27)]
-    )  # 1.0, step_frac, step_frac*0.8, ... ~3.0e-3 (28 candidates) — the
-    # tail decades below alpha_stall=0.05 let small-but-nonzero predictor
-    # steps exist instead of collapsing straight to the centering branch.
-    # Ratio 0.8 (not 0.93): every candidate evaluates the full
-    # proximity/feasibility graph batch-wide, so grid width is the
-    # dominant per-iteration cost (measured: the exp-family bench is
-    # line-search-bound), and a Mehrotra step within 20% of the largest
-    # admissible alpha costs at most ~1 extra iteration.
+        [[1.0], step_frac * 0.8 ** np.arange(14), [0.02, 0.008, 0.003]]
+    )  # 18 candidates: geometric ratio 0.8 down to ~0.044, then a sparse
+    # sub-alpha_stall tail — small-but-nonzero predictor steps still exist
+    # instead of collapsing straight to the centering branch, but the grid
+    # stays narrow: every candidate evaluates the full proximity/feasibility
+    # graph batch-wide, so grid width is the dominant per-iteration cost
+    # (measured: the exp-family bench is line-search-bound), and a Mehrotra
+    # step within 20% of the largest admissible alpha costs at most ~1
+    # extra iteration.
     _CENT_GRID = np.array(
-        [1.0, 0.7, 0.5, 0.35, 0.25, 0.15, 0.1, 0.05, 0.02]
+        [1.0, 0.6, 0.35, 0.2, 0.1, 0.05, 0.02]
     )
 
     def _ok_at(s0, y0, ds, dy, with_prox: bool, a):
@@ -665,11 +665,14 @@ def _solve_impl(
             good = jnp.logical_and(good, prox2 <= (beta_wide * mu_n) ** 2)
         return good
 
-    def pred_search(s0, y0, ds, dy, with_prox: bool):
+    def pred_search(s0, y0, ds, dy, with_prox: bool, coarse: bool = False):
         """Largest grid alpha in (0, 1] keeping (s0 + a ds, y0 + a dy)
         strictly interior to K x K* (and, when with_prox, inside the wide
-        proximity neighborhood)."""
-        grid = jnp.asarray(_PRED_GRID, dt)
+        proximity neighborhood). ``coarse`` halves the grid — the affine
+        probe only feeds Mehrotra's sigma heuristic, so a factor-0.64
+        step-length resolution is plenty (the combined step re-searches on
+        the full grid)."""
+        grid = jnp.asarray(_PRED_GRID[::2] if coarse else _PRED_GRID, dt)
         ok = jax.vmap(partial(_ok_at, s0, y0, ds, dy, with_prox))(grid)
         return jnp.max(jnp.where(ok, grid, jnp.zeros((), dt)))
 
@@ -713,9 +716,13 @@ def _solve_impl(
         K = factor(Hbar, Hbar_inv)
 
         # Mehrotra predictor: affine probe for the centering weight, then
-        # the combined direction, line-searched inside the neighborhood
-        dxa, dyEa, dyCa, dsa = solve_dir(K, rd, rpE, rpC, yC)
-        a_aff = pred_search(s, yC, dsa, dyCa, with_prox=False)
+        # the combined direction, line-searched inside the neighborhood.
+        # The probe direction ONLY feeds the sigma heuristic, so it skips
+        # iterative refinement (one LDL solve instead of 1 + refine_steps)
+        # and searches the coarse grid — measured 34.6k -> ~49k exp
+        # solves+VJPs/s on the TPU bench with iteration counts unchanged.
+        dxa, dyEa, dyCa, dsa = _solve_dir_once(K, rd, rpE, rpC, yC)
+        a_aff = pred_search(s, yC, dsa, dyCa, with_prox=False, coarse=True)
         mu_aff = jnp.dot(s + a_aff * dsa, yC + a_aff * dyCa) / nu_deg
         sigma = jnp.clip(
             (mu_aff / jnp.maximum(mu, jnp.asarray(1e-300, dt))) ** 3,
@@ -726,11 +733,18 @@ def _solve_impl(
         alpha_p = pred_search(s, yC, dsp, dyCp, with_prox=True)
 
         def centering_step(_):
+            # NOTE: under vmap, lax.cond lowers to select_n and BOTH branches
+            # execute for the whole batch every iteration — so this branch is
+            # paid unconditionally on batched solves. Keep it lean: the
+            # centering direction skips iterative refinement (one LDL solve,
+            # not 1 + refine_steps) — it is a recovery step whose step size
+            # is chosen by proximity descent, not a precision-critical
+            # Newton direction.
             zeros_rhs = (
                 jnp.zeros_like(rd), jnp.zeros_like(rpE), jnp.zeros_like(rpC)
             )
             gc = yC + mu * gradF
-            dx, dyE, dyC, ds = solve_dir(K, *zeros_rhs, gc)
+            dx, dyE, dyC, ds = _solve_dir_once(K, *zeros_rhs, gc)
             alpha = cent_search(s, yC, ds, dyC)
             return dx, dyE, dyC, ds, alpha
 
