@@ -88,6 +88,84 @@ def _chol_solve_value(L, rhs, n):
     return jnp.stack(xs, axis=0)
 
 
+# Past this dimension the fully-unrolled shrinking-submatrix forms stop
+# compiling: every unrolled step leaves live (rows, LANE) slices and Mosaic's
+# register allocator spills them to VMEM (measured at n=100: 226 MB of spill
+# slots, 235 MB total vs the chip's 128 MB). The loop variants below trace
+# ONE body under lax.fori_loop with masked full-size updates — ~3x the
+# elementwise FLOPs (full (n, n, LANE) updates instead of shrinking ones),
+# but a bounded live set (~2 n^2 LANE words) and far smaller compiles.
+_UNROLL_MAX = 80
+
+
+def _chol_value_loop(Hv, n):
+    """Cholesky of an (n, n, LANE) SPD value via lax.fori_loop with masked
+    rank-1 updates. Column j is extracted by a one-hot reduction (no dynamic
+    sublane slicing), the trailing update subtracts the full outer product —
+    colL is zero on rows < j, so the already-factored block is untouched
+    (row/column j itself is never read again)."""
+    dt = Hv.dtype
+    # 2D iota: Mosaic has no 1D iota lowering; (n, 1) broadcasts everywhere
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    def body(j, carry):
+        A, L = carry
+        rowm = (iota == j).astype(dt)  # (n, 1)
+        colj = jnp.sum(A * rowm[None, :, :], axis=1)  # (n, LANE) = A[:, j]
+        dj = jnp.sum(colj * rowm, axis=0)  # (LANE,) = A[j, j]
+        inv = jax.lax.rsqrt(dj)
+        lower = (iota >= j).astype(dt)  # (n, 1)
+        colL = colj * inv[None, :] * lower
+        A = A - colL[:, None, :] * colL[None, :, :]
+        L = L + colL[:, None, :] * rowm[None, :, :]
+        return A, L
+
+    _, L = jax.lax.fori_loop(0, n, body, (Hv, jnp.zeros_like(Hv)))
+    return L
+
+
+def _chol_solve_value_loop(L, rhs, n):
+    """Solve L L' x = rhs for rhs (n, k, LANE) via masked substitution
+    loops. Rows of the not-yet-computed part of the carry are zero, so the
+    running inner products need no triangular masking: L's column j is zero
+    above the diagonal and Y/X rows at-or-after the current row are zero."""
+    dt = L.dtype
+    iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # 2D: no 1D iota
+
+    def fwd(j, Y):
+        rowm = (iota == j).astype(dt)  # (n, 1)
+        rowj = jnp.sum(L * rowm[:, :, None], axis=0)  # (n, LANE) = L[j, :]
+        ljj = jnp.sum(rowj * rowm, axis=0)  # (LANE,)
+        acc = jnp.sum(rowj[:, None, :] * Y, axis=0)  # (k, LANE)
+        rhsj = jnp.sum(rhs * rowm[:, :, None], axis=0)
+        yj = (rhsj - acc) / ljj[None, :]
+        return Y + yj[None] * rowm[:, :, None]
+
+    Y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(rhs))
+
+    def bwd(t, X):
+        j = n - 1 - t
+        rowm = (iota == j).astype(dt)  # (n, 1)
+        colj = jnp.sum(L * rowm[None, :, :], axis=1)  # (n, LANE) = L[:, j]
+        ljj = jnp.sum(colj * rowm, axis=0)
+        acc = jnp.sum(colj[:, None, :] * X, axis=0)
+        yj = jnp.sum(Y * rowm[:, :, None], axis=0)
+        xj = (yj - acc) / ljj[None, :]
+        return X + xj[None] * rowm[:, :, None]
+
+    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(rhs))
+
+
+def _chol_any(Hv, d):
+    return _chol_value(Hv, d) if d <= _UNROLL_MAX else _chol_value_loop(Hv, d)
+
+
+def _chol_solve_any(L, rhs, d):
+    if d <= _UNROLL_MAX:
+        return _chol_solve_value(L, rhs, d)
+    return _chol_solve_value_loop(L, rhs, d)
+
+
 def _pdip_kernel(
     dims: Tuple[int, int, int],
     iters: int,
@@ -115,25 +193,40 @@ def _pdip_kernel(
 
     def build_H(ls):
         Hv = Q + eye_scaled
-        if m:
+        if not m:
+            return Hv
+        if m <= _UNROLL_MAX // 2:
             for k in range(m):
                 gk = G[k]  # (n, LANE)
                 lsk = ls[k]  # (LANE,) — avoid int+None mixed indexing (gather)
                 Hv = Hv + (gk[:, None, :] * gk[None, :, :]) * lsk[None, None, :]
-        return Hv
+            return Hv
+
+        # large m: an unrolled rank-1 chain leaves m live (n, n, LANE)
+        # intermediates for Mosaic's register allocator to spill — loop it,
+        # extracting row k by one-hot reduction (no sublane dynamic_slice)
+        iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+
+        def hbody(k, Hc):
+            km = (iota_m == k).astype(dt)  # (m, 1)
+            gk = jnp.sum(G * km[:, :, None], axis=0)  # (n, LANE)
+            lsk = jnp.sum(ls * km, axis=0)  # (LANE,)
+            return Hc + (gk[:, None, :] * gk[None, :, :]) * lsk[None, None, :]
+
+        return jax.lax.fori_loop(0, m, hbody, Hv)
 
     def factor(lam, s):
         Hv = build_H(lam / s) if m else build_H(None)
-        Lh = _chol_value(Hv, n)
+        Lh = _chol_any(Hv, n)
         if p:
             At = jnp.swapaxes(A, 0, 1)  # (n, p, LANE)
-            HiAt = _chol_solve_value(Lh, At, n)  # (n, p, LANE)
+            HiAt = _chol_solve_any(Lh, At, n)  # (n, p, LANE)
             Sv = reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones((1, 1, LANE), dt)
             rows = []
             for a_ in range(p):
                 rows.append(jnp.sum(A[a_][:, None, :] * HiAt, axis=0))  # (p, LANE)
             Sv = Sv + jnp.stack(rows, axis=0)
-            Ls = _chol_value(Sv, p)
+            Ls = _chol_any(Sv, p)
         else:
             Ls = None
         return Lh, Ls
@@ -143,11 +236,11 @@ def _pdip_kernel(
             rhs_z = -rd + rmv(G, (rc - lam * rpi) / s)
         else:
             rhs_z = -rd
-        z1 = _chol_solve_value(Lh, rhs_z[:, None, :], n)[:, 0, :]
+        z1 = _chol_solve_any(Lh, rhs_z[:, None, :], n)[:, 0, :]
         if p:
             rhs_s = mv(A, z1) + rpe
-            dnu = _chol_solve_value(Ls, rhs_s[:, None, :], p)[:, 0, :]
-            dz = z1 - _chol_solve_value(Lh, rmv(A, dnu)[:, None, :], n)[:, 0, :]
+            dnu = _chol_solve_any(Ls, rhs_s[:, None, :], p)[:, 0, :]
+            dz = z1 - _chol_solve_any(Lh, rmv(A, dnu)[:, None, :], n)[:, 0, :]
         else:
             dnu = jnp.zeros((p, LANE), dt)
             dz = z1
@@ -321,10 +414,10 @@ def solve_batched_fused(
     B = qp.q.shape[0]
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
     dt = qp.Q.dtype
-    if m == 0 or p == 0 or n > 80:
+    if m == 0 or p == 0 or n > 128:
         # zero-sized blocks don't map to TPU kernel operands, and the
-        # in-kernel working set (~4 n^2 LANE words) exceeds VMEM past n~80
-        # (n=96 fails the remote compile) — take the staged path
+        # in-kernel working set (~4 n^2 LANE words) exceeds VMEM past n~128
+        # even at the raised 127 MB limit — take the staged path
         from ...solvers import qp as qpsolver
 
         sol, _ = qpsolver.solve_batched(qp, max_iters=max_iters, tol=tol, reg=reg)
@@ -374,7 +467,10 @@ def solve_batched_fused(
             jax.ShapeDtypeStruct((m, Bp), dt),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            # v5e has 128 MB of VMEM; leave ~1 MB headroom. The n~100 tile
+            # (BASELINE config 2's stated envelope) needs >100 MB once the
+            # grid pipeline double-buffers the (n, n, LANE) operands.
+            vmem_limit_bytes=127 * 1024 * 1024
         ),
         interpret=_interpret(),
     )(*args)
