@@ -426,6 +426,20 @@ class _State(NamedTuple):
     mu_prev: Array
     err_prev: Array
     stall: Array
+    # Best-iterate tracking (same rationale as the NT IPM's): near the
+    # complementarity floor the iterate OSCILLATES — err bounces in a
+    # ~2x band and a late full step can land on a worse point right
+    # before the stall exit fires (measured on the padded exp+psd batch
+    # instance: err touched 4.2e-8 at it=20, wandered at the f64 floor,
+    # then froze at 1.5e-7 for the stall counter — flipping `converged`
+    # on a trajectory whose best point was 4x inside the threshold).
+    # Returning the best-by-err iterate makes the flag a property of the
+    # solve, not of which floor-noise sample the exit landed on.
+    x_best: Array
+    yE_best: Array
+    yC_best: Array
+    s_best: Array
+    err_best: Array
 
 
 def solve(
@@ -779,18 +793,35 @@ def _solve_impl(
         done = jnp.logical_or(
             done_now, jnp.logical_or(jnp.logical_not(finite), stall >= 5)
         )
+        better = err < st.err_best
+        bupd = lambda cur, best: jnp.where(better, cur, best)
         return _State(
             upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
             st.it + 1, done, mu, err, stall,
+            bupd(x, st.x_best), bupd(yE, st.yE_best),
+            bupd(yC, st.yC_best), bupd(s, st.s_best),
+            jnp.minimum(err, st.err_best),
         )
 
     st0 = _State(
         x, yE, yC, s, jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
+        x, yE, yC, s, jnp.asarray(jnp.inf, dt),
     )
     st = jax.lax.while_loop(cond, body, st0)
 
+    # The loop's best-iterate bookkeeping only sees states it stepped FROM;
+    # the final iterate's own metrics are computed here and compared.
+    rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
+    pres_f, dres_f, gap_f = metrics(st.x, st.yE, st.yC, st.s, rd, rpE, rpC)
+    err_f = jnp.maximum(pres_f, jnp.maximum(dres_f, gap_f))
+    take_final = err_f <= st.err_best
+    pick = lambda fin, best: jnp.where(take_final, fin, best)
+    st = st._replace(
+        x=pick(st.x, st.x_best), yE=pick(st.yE, st.yE_best),
+        yC=pick(st.yC, st.yC_best), s=pick(st.s, st.s_best),
+    )
     rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
     pres, dres, gaprel = metrics(st.x, st.yE, st.yC, st.s, rd, rpE, rpC)
     gap = jnp.dot(st.s, st.yC)

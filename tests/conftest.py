@@ -87,6 +87,10 @@ _SMOKE_TESTS = {
     # contexts + heterogeneous batching
     "test_api_utils.py::test_context_matches_functional_verbs",
     "test_api_utils.py::test_pad_and_stack_preserves_solutions",
+    # batch-path convergence flags (the c264648 regression class: a perf
+    # retune flipping `converged` on a padded nsipm batch must fail INSIDE
+    # the inner loop, not 40 minutes later in the fast tier)
+    "test_batching_grad.py::test_unpad_cone_tangent_slices_reverse_verbs",
     # parallel: Schur coupling, shard_map, tensor-parallel chol, runtime
     "test_schur.py::test_schur_matches_monolithic",
     "test_schur.py::test_solve_two_stage_sharded",
