@@ -92,68 +92,100 @@ def _chol_solve_value(L, rhs, n):
 # compiling: every unrolled step leaves live (rows, LANE) slices and Mosaic's
 # register allocator spills them to VMEM (measured at n=100: 226 MB of spill
 # slots, 235 MB total vs the chip's 128 MB). The loop variants below trace
-# ONE body under lax.fori_loop with masked full-size updates — ~3x the
-# elementwise FLOPs (full (n, n, LANE) updates instead of shrinking ones),
-# but a bounded live set (~2 n^2 LANE words) and far smaller compiles.
+# ONE body under lax.fori_loop, with the factor held in a scoped VMEM
+# scratch ref so row j is a DYNAMIC ROW load/store (pl.ds on the leading
+# dim — O(n LANE)) instead of a one-hot O(n^2 LANE) reduction per step
+# (lax.dynamic_slice on kernel VALUES has no Mosaic lowering — measured —
+# but refs take pl.ds on non-vreg dims): only the trailing rank-1 update
+# pays O(n^2 LANE), which is the actual FLOP content. Measured at
+# n=100/m=48/p=24 vs the one-hot form: 230 ms -> 93 ms per B=1024 tile.
 _UNROLL_MAX = 80
 
 
 def _chol_value_loop(Hv, n):
-    """Cholesky of an (n, n, LANE) SPD value via lax.fori_loop with masked
-    rank-1 updates. Column j is extracted by a one-hot reduction (no dynamic
-    sublane slicing), the trailing update subtracts the full outer product —
-    colL is zero on rows < j, so the already-factored block is untouched
-    (row/column j itself is never read again)."""
+    """Cholesky of an (n, n, LANE) SPD value via a fori_loop over a VMEM
+    scratch ref. The trailing submatrix stays symmetric, so column j equals
+    row j (a dynamic row load); after the rank-1 trailing update, L's column
+    j is stored back INTO row j (never read again by later steps — rows < j
+    hold stored L columns and their colL entries are zero, so trailing
+    updates leave them untouched). Returns lower L (transpose of the stored
+    rows)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     dt = Hv.dtype
+    lane = Hv.shape[-1]
     # 2D iota: Mosaic has no 1D iota lowering; (n, 1) broadcasts everywhere
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
-    def body(j, carry):
-        A, L = carry
-        rowm = (iota == j).astype(dt)  # (n, 1)
-        colj = jnp.sum(A * rowm[None, :, :], axis=1)  # (n, LANE) = A[:, j]
-        dj = jnp.sum(colj * rowm, axis=0)  # (LANE,) = A[j, j]
-        inv = jax.lax.rsqrt(dj)
-        lower = (iota >= j).astype(dt)  # (n, 1)
-        colL = colj * inv[None, :] * lower
-        A = A - colL[:, None, :] * colL[None, :, :]
-        L = L + colL[:, None, :] * rowm[None, :, :]
-        return A, L
+    def scoped(A_ref):
+        A_ref[:] = Hv
 
-    _, L = jax.lax.fori_loop(0, n, body, (Hv, jnp.zeros_like(Hv)))
-    return L
+        def body(j, _):
+            colj = A_ref[pl.ds(j, 1)][0]  # (n, LANE): row j == column j
+            dj = jnp.sum(colj * (iota == j).astype(dt), axis=0)  # (LANE,)
+            inv = jax.lax.rsqrt(dj)
+            colL = colj * inv[None, :] * (iota >= j).astype(dt)
+            A_ref[:] = A_ref[:] - colL[:, None, :] * colL[None, :, :]
+            A_ref[pl.ds(j, 1)] = colL[None]
+            return 0
+
+        jax.lax.fori_loop(0, n, body, 0)
+        return jnp.swapaxes(A_ref[:], 0, 1)
+
+    return pl.run_scoped(scoped, pltpu.VMEM((n, n, lane), dt))
 
 
 def _chol_solve_value_loop(L, rhs, n):
-    """Solve L L' x = rhs for rhs (n, k, LANE) via masked substitution
-    loops. Rows of the not-yet-computed part of the carry are zero, so the
-    running inner products need no triangular masking: L's column j is zero
-    above the diagonal and Y/X rows at-or-after the current row are zero."""
+    """Solve L L' x = rhs for rhs (n, k, LANE) via substitution loops over
+    VMEM scratch refs: L (for forward rows), L' (for backward rows = L
+    columns), the rhs, and the running solution all get dynamic row access;
+    the per-step inner product is the masked-full contraction (solution rows
+    not yet computed are zero)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     dt = L.dtype
+    k = rhs.shape[1]
+    lane = rhs.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # 2D: no 1D iota
 
-    def fwd(j, Y):
-        rowm = (iota == j).astype(dt)  # (n, 1)
-        rowj = jnp.sum(L * rowm[:, :, None], axis=0)  # (n, LANE) = L[j, :]
-        ljj = jnp.sum(rowj * rowm, axis=0)  # (LANE,)
-        acc = jnp.sum(rowj[:, None, :] * Y, axis=0)  # (k, LANE)
-        rhsj = jnp.sum(rhs * rowm[:, :, None], axis=0)
-        yj = (rhsj - acc) / ljj[None, :]
-        return Y + yj[None] * rowm[:, :, None]
+    def scoped(L_ref, Lt_ref, R_ref, Y_ref):
+        L_ref[:] = L
+        Lt_ref[:] = jnp.swapaxes(L, 0, 1)
+        R_ref[:] = rhs
+        Y_ref[:] = jnp.zeros_like(rhs)
 
-    Y = jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(rhs))
+        def fwd(j, _):
+            rowj = L_ref[pl.ds(j, 1)][0]  # (n, LANE) = L[j, :]
+            ljj = jnp.sum(rowj * (iota == j).astype(dt), axis=0)  # (LANE,)
+            acc = jnp.sum(rowj[:, None, :] * Y_ref[:], axis=0)  # (k, LANE)
+            rhsj = R_ref[pl.ds(j, 1)][0]  # (k, LANE)
+            Y_ref[pl.ds(j, 1)] = ((rhsj - acc) / ljj[None, :])[None]
+            return 0
 
-    def bwd(t, X):
-        j = n - 1 - t
-        rowm = (iota == j).astype(dt)  # (n, 1)
-        colj = jnp.sum(L * rowm[None, :, :], axis=1)  # (n, LANE) = L[:, j]
-        ljj = jnp.sum(colj * rowm, axis=0)
-        acc = jnp.sum(colj[:, None, :] * X, axis=0)
-        yj = jnp.sum(Y * rowm[:, :, None], axis=0)
-        xj = (yj - acc) / ljj[None, :]
-        return X + xj[None] * rowm[:, :, None]
+        jax.lax.fori_loop(0, n, fwd, 0)
+        R_ref[:] = jnp.zeros_like(rhs)  # reuse as the X accumulator
 
-    return jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(rhs))
+        def bwd(t, _):
+            j = n - 1 - t
+            colj = Lt_ref[pl.ds(j, 1)][0]  # (n, LANE) = L[:, j]
+            ljj = jnp.sum(colj * (iota == j).astype(dt), axis=0)
+            acc = jnp.sum(colj[:, None, :] * R_ref[:], axis=0)
+            yj = Y_ref[pl.ds(j, 1)][0]
+            R_ref[pl.ds(j, 1)] = ((yj - acc) / ljj[None, :])[None]
+            return 0
+
+        jax.lax.fori_loop(0, n, bwd, 0)
+        return R_ref[:]
+
+    return pl.run_scoped(
+        scoped,
+        pltpu.VMEM((n, n, lane), dt),
+        pltpu.VMEM((n, n, lane), dt),
+        pltpu.VMEM((n, k, lane), dt),
+        pltpu.VMEM((n, k, lane), dt),
+    )
 
 
 def _chol_any(Hv, d):
@@ -203,14 +235,15 @@ def _pdip_kernel(
             return Hv
 
         # large m: an unrolled rank-1 chain leaves m live (n, n, LANE)
-        # intermediates for Mosaic's register allocator to spill — loop it,
-        # extracting row k by one-hot reduction (no sublane dynamic_slice)
+        # intermediates for Mosaic's register allocator to spill — loop it.
+        # Row k of G is a dynamic row load from the INPUT ref (O(n LANE));
+        # lsk is a one-hot reduction over the per-iteration (m, LANE) value
+        # (O(m LANE) — values have no dynamic_slice lowering)
         iota_m = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
 
         def hbody(k, Hc):
-            km = (iota_m == k).astype(dt)  # (m, 1)
-            gk = jnp.sum(G * km[:, :, None], axis=0)  # (n, LANE)
-            lsk = jnp.sum(ls * km, axis=0)  # (LANE,)
+            gk = G_ref[pl.ds(k, 1)][0]  # (n, LANE)
+            lsk = jnp.sum(ls * (iota_m == k).astype(dt), axis=0)  # (LANE,)
             return Hc + (gk[:, None, :] * gk[None, :, :]) * lsk[None, None, :]
 
         return jax.lax.fori_loop(0, m, hbody, Hv)

@@ -29,11 +29,31 @@ def _spd_value(n, lane=LANE, seed=0):
     return jnp.asarray(np.moveaxis(H, 0, -1))  # (n, n, LANE)
 
 
+def _in_kernel(fn, out_shape, *args):
+    """Run a value-level kernel helper inside a pallas_call (the scratch-ref
+    loop forms use pl.run_scoped, which only evaluates in a kernel context;
+    interpret mode on CPU)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kern(*refs):
+        in_refs, o_ref = refs[:-1], refs[-1]
+        o_ref[:] = fn(*[r[:] for r in in_refs])
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(out_shape, args[0].dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=jax.default_backend() != "tpu",
+    )(*args)
+
+
 def test_chol_value_loop_matches_unrolled():
     n = 11
     Hv = _spd_value(n)
     Lu = _chol_value(Hv, n)
-    Ll = _chol_value_loop(Hv, n)
+    Ll = _in_kernel(lambda H: _chol_value_loop(H, n), (n, n, LANE), Hv)
     np.testing.assert_allclose(np.asarray(Ll), np.asarray(Lu), atol=1e-10)
 
 
@@ -44,7 +64,9 @@ def test_chol_solve_value_loop_matches_unrolled():
     rng = np.random.default_rng(2)
     rhs = jnp.asarray(rng.normal(size=(n, k, LANE)))
     xu = _chol_solve_value(L, rhs, n)
-    xl = _chol_solve_value_loop(L, rhs, n)
+    xl = _in_kernel(
+        lambda L_, r_: _chol_solve_value_loop(L_, r_, n), (n, k, LANE), L, rhs
+    )
     np.testing.assert_allclose(np.asarray(xl), np.asarray(xu), atol=1e-10)
 
 
