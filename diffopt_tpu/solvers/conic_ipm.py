@@ -839,8 +839,13 @@ def solve_batched_fused(
         if conic_nsipm.supports(cp.cones) and any(
             k != "zero" for k, _, _ in cp.cones.blocks
         ):
-            # exp/pow blocks: the nonsymmetric-cone PDIPM (~30-80 Newton
-            # steps; its max_iters default is its own config knob)
+            # exp/pow blocks: the nonsymmetric-cone PDIPM — fused Pallas
+            # kernel where the layout allows, vmapped XLA otherwise (its
+            # max_iters default is its own config knob)
+            if cp.c.ndim == 2:
+                return conic_nsipm.solve_batched_fused(
+                    cp, max_iters=max_iters, tol=tol
+                )
             return conic_nsipm.solve_batched(cp, max_iters=max_iters, tol=tol)
         return _dr_fallback()
     if max_iters is None:
@@ -851,9 +856,11 @@ def solve_batched_fused(
     if mC == 0:
         # equality-only program: nothing for an IPM to scale
         return _dr_fallback()
-    if psd_sides or N > 64 or cp.c.ndim != 2:
-        # psd blocks: the vmapped XLA IPM (eigh-based NT scaling) — the fused
-        # Pallas kernel covers the polyhedral/soc family only
+    if any(d > 6 for d in psd_sides) or N > 128 or cp.c.ndim != 2:
+        # psd sides past the in-kernel Jacobi envelope (unrolled rotation
+        # sweeps) and Newton systems past the scratch-ref loop-LDL' envelope
+        # (N <= 128, cf. the fused QP's n cap): the vmapped XLA IPM
+        # (batched Jacobi eigh NT scaling + Pallas LDL')
         return solve_batched(cp, max_iters=max_iters, tol=tol, reg=reg)
     if tol is None:
         tol = cfg.ipm_tol(dt)
@@ -872,7 +879,7 @@ def solve_batched_fused(
         b_int = cp.b @ R.T
         x, yE, yC, s, it, pres, dres = solve_tile_fused(
             cp.c, b_int[:, :p], b_int[:, p:], A_int[:, :p], A_int[:, p:],
-            (p, l, soc_dims),
+            (p, l, soc_dims, psd_sides),
             max_iters=max_iters, tol=tol, reg=reg, eps=eps,
         )
         y = jnp.concatenate([yE, yC], axis=-1) @ R
