@@ -50,7 +50,7 @@ def make_entropy_batch(B, k=3, seed=0, dtype=jnp.float32):
 
 
 def main():
-    from diffopt_tpu import solve_conic
+    from diffopt_tpu import solve_conic_batched
 
     # B amortizes the ~26 ms tunnel round-trip (at B=4096 the step is
     # ~0.14 s, so dispatch was ~19% of wall time)
@@ -58,9 +58,10 @@ def main():
     cp = make_entropy_batch(B)
 
     def loss(cp):
-        sol = jax.vmap(
-            lambda c: solve_conic(c, method="gram", solver="nsipm")
-        )(cp)
+        # fused single-kernel nonsymmetric IPM (ops/pallas/ns_pdip.py) +
+        # batched gram reverse diff — the vmapped-XLA nsipm is
+        # dispatch/HBM-bound (measured 49k/s vs 262k for the NT SOCP kernel)
+        sol = solve_conic_batched(cp)
         return jnp.sum(sol.x**2)
 
     step = jax.jit(jax.value_and_grad(loss))

@@ -847,3 +847,85 @@ def solve_batched(cp: ConeProgram, **kw) -> Tuple[ConeSolution, ConicSolveInfo]:
     for _ in range(cp.c.ndim - 1):
         fn = jax.vmap(fn)
     return fn(cp)
+
+
+def solve_batched_fused(
+    cp: ConeProgram,
+    *,
+    max_iters: int | None = None,
+    tol: float | None = None,
+    reg: float | None = None,
+    step_frac: float = 0.99,
+    neighborhood: float = 0.9,
+) -> Tuple[ConeSolution, ConicSolveInfo]:
+    """Solve a (B, ...) batch with the fully-fused single-kernel
+    nonsymmetric-cone IPM (``ops/pallas/ns_pdip.py``): one Pallas launch
+    runs all dual-scaling Newton iterations + proximity line searches with
+    the 128-instance tile resident in VMEM (the vmapped XLA path is
+    dispatch/HBM-bound: thousands of tiny elementwise ops per iteration —
+    measured ~49k exp solves+VJPs/s vs 262k for the fused NT SOCP kernel).
+    Falls back to :func:`solve_batched` for psd blocks, equality-free
+    programs, Newton systems past the loop-LDL' envelope, or non-2D
+    batches."""
+    from ..utils.config import get_config
+
+    cfg = get_config()
+    dt = cp.A.dtype
+    if not supports(cp.cones):
+        raise ValueError(
+            f"conic_nsipm: unsupported cone kinds in {cp.cones!r}"
+        )
+    n = cp.num_vars
+    R, p, l, soc_dims, psd_sides, ns_blocks = _row_transform(
+        cp.cones, dt, allow_ns=True
+    )
+    mC = l + sum(soc_dims) + sum(
+        d * (d + 1) // 2 for d in psd_sides
+    ) + 3 * len(ns_blocks)
+    N = n + p + mC
+    if (
+        psd_sides or not ns_blocks or mC == 0 or p == 0
+        or N > 128 or cp.c.ndim != 2
+    ):
+        return solve_batched(cp, max_iters=max_iters, tol=tol)
+    if max_iters is None:
+        max_iters = cfg.nsipm_max_iters
+    if tol is None:
+        tol = cfg.nsipm_tol(dt)
+    elif dt != jnp.float64:
+        tol = max(tol, cfg.nsipm_tol_f32)
+    if reg is None:
+        reg = cfg.ipm_reg(dt)
+    eps = 1e-15 if dt == jnp.float64 else 1e-7
+
+    from ..ops.pallas.ns_pdip import solve_tile_fused_ns
+    from ..utils.precision import full_precision
+
+    @full_precision
+    def run(cp):
+        A_int = jnp.einsum("ij,bjk->bik", R, cp.A)
+        b_int = cp.b @ R.T
+        x, yE, yC, s, it, pres, dres, gaprel = solve_tile_fused_ns(
+            cp.c, b_int[:, :p], b_int[:, p:], A_int[:, :p], A_int[:, p:],
+            (p, l, soc_dims, ns_blocks),
+            max_iters=max_iters, tol=tol, reg=reg, eps=eps,
+            step_frac=step_frac, neighborhood=neighborhood,
+        )
+        y = jnp.concatenate([yE, yC], axis=-1) @ R
+        s_full = jnp.concatenate(
+            [jnp.zeros((s.shape[0], p), dt), s], axis=-1
+        ) @ R
+        gap = jnp.sum(s * yC, axis=-1)
+        conv = (pres < 10 * tol) & (dres < 10 * tol) & (gaprel < 10 * tol)
+        return (
+            ConeSolution(x=x, y=y, s=s_full),
+            ConicSolveInfo(
+                iterations=it.astype(jnp.int32),
+                primal_residual=pres,
+                dual_residual=dres,
+                gap=gap,
+                converged=conv,
+            ),
+        )
+
+    return run(cp)
