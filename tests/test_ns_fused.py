@@ -130,3 +130,20 @@ def test_fused_ns_vjp_matches_unbatched():
             atol=5e-6,
             err_msg=name,
         )
+
+
+def test_ns_iteration_counts_regression_gate():
+    """Iteration-count band on a fixed entropy batch (round-3 postmortem:
+    c264648's line-search grid trim shipped with 'iteration counts
+    unchanged' in the message and no gate — and flipped a convergence flag.
+    If a future perf retune trades convergence for per-iteration speed,
+    this fails instead of the 40-minute tier)."""
+    cp = _entropy_batch(B=8, seed=0)
+    _, info_f = conic_nsipm.solve_batched_fused(cp)
+    _, info_x = conic_nsipm.solve_batched(cp)
+    for name, info in (("fused", info_f), ("xla", info_x)):
+        assert bool(jnp.all(info.converged)), name
+        # measured: 15-18 its on this batch (both paths); band is 2x
+        assert int(jnp.max(info.iterations)) <= 36, (
+            name, np.asarray(info.iterations)
+        )
