@@ -29,9 +29,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS, LANE = 2048, 128
-REPS = 400  # FMA chain length per element per pass
-PASSES = 8
+ROWS, LANE = 512, 128  # 8 acc chains x 256 KB stays inside the 16 MB scoped-vmem stack
+REPS = 10_000_000  # FMA chain length: ~1e13 flops/call, ~2 s at VPU rates
+# (amortizes the ~26 ms tunnel round-trip to noise)
+PASSES = 4
 
 
 def _kernel(x_ref, o_ref):
