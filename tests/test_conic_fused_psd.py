@@ -90,3 +90,52 @@ def test_fused_psd_vjp_matches_unbatched():
             atol=1e-6,
             err_msg=name,
         )
+
+
+def test_fused_conic_loop_ldl_envelope_n80():
+    """Newton systems past the unrolled-LDL' envelope (N > _LDL_UNROLL_MAX
+    = 72) take the scratch-ref fori-loop LDL' (``_ldl_value_loop`` /
+    ``_ldl_solve_value_loop``) — the round-3 ask #7 cap raise (N <= 128,
+    previously 64). A zero+nonneg+soc program sized to N = 80 must match
+    the vmapped XLA IPM through the loop path (interpret mode)."""
+    from diffopt_tpu.ops.pallas import conic_pdip
+
+    rng = np.random.default_rng(2)
+    B, n = 4, 16
+    cones = ConeSpec([("zero", 4), ("nonneg", 40), ("soc", 10), ("soc", 10)])
+    m = cones.total_dim
+    N = n + m  # 16 + 64 = 80
+    assert N > conic_pdip._LDL_UNROLL_MAX
+    A_b, b_b, c_b = [], [], []
+    for _ in range(B):
+        A = rng.normal(size=(m, n)) / np.sqrt(n)
+        xs = rng.normal(size=n)
+        socs = []
+        socy = []
+        for d in (10, 10):
+            v = rng.normal(size=d - 1)
+            socs.append(np.concatenate([[np.linalg.norm(v) + 0.4], v]))
+            w = rng.normal(size=d - 1) * 0.1
+            socy.append(np.concatenate([[np.linalg.norm(w) + 0.3], w]))
+        s_star = np.concatenate(
+            [np.zeros(4), np.abs(rng.normal(size=40)) + 0.2] + socs
+        )
+        y_star = np.concatenate(
+            [rng.normal(size=4), np.abs(rng.normal(size=40)) + 0.2] + socy
+        )
+        A_b.append(A)
+        b_b.append(A @ xs + s_star)
+        c_b.append(-A.T @ y_star)
+    cp = ConeProgram(
+        A=jnp.asarray(np.stack(A_b)),
+        b=jnp.asarray(np.stack(b_b)),
+        c=jnp.asarray(np.stack(c_b)),
+        cones=cones,
+    )
+    solf, infof = conic_ipm.solve_batched_fused(cp)
+    solx, infox = conic_ipm.solve_batched(cp)
+    assert bool(jnp.all(infof.converged))
+    assert bool(jnp.all(infox.converged))
+    np.testing.assert_allclose(
+        np.asarray(solf.x), np.asarray(solx.x), atol=1e-7
+    )
