@@ -826,10 +826,16 @@ def _kernel(dims, socs, psds, iters, tol, reg, eps, *refs):
         )
         if p:
             finite = finite & jnp.all(jnp.isfinite(dyE), axis=0)
-        step = (finite & ~done & ~stalled)[None, :]
-        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
+        # complementarity collapse (mu <= 0): the NT scaling is meaningless
+        # and further steps corrupt the lane — freeze it (best-iterate
+        # carries the converged point out; cf. conic_ipm.py)
+        dead = mu <= 0.0
+        step = (finite & ~done & ~stalled & ~dead)[None, :]
+        alpha = jnp.maximum(jnp.where(jnp.isfinite(alpha), alpha, 0.0), 0.0)[
+            None, :
+        ]
         upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
-        alldone = jnp.all(done | ~finite | stalled)
+        alldone = jnp.all(done | ~finite | stalled | dead)
         return (
             it + 1, upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
             xb, yEb, yCb, sb_, errb, itdone, mu, err, stall, alldone,

@@ -568,10 +568,15 @@ def _kernel(
         )
         if p:
             finite = finite & jnp.all(jnp.isfinite(dyE), axis=0)
-        step = (finite & ~done & ~stalled)[None, :]
-        alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
+        # mu <= 0 cannot arise from the interiority-checked line searches,
+        # but freeze defensively (cf. conic_pdip.py)
+        dead = mu <= 0.0
+        step = (finite & ~done & ~stalled & ~dead)[None, :]
+        alpha = jnp.maximum(jnp.where(jnp.isfinite(alpha), alpha, 0.0), 0.0)[
+            None, :
+        ]
         upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
-        alldone = jnp.all(done | ~finite | stalled)
+        alldone = jnp.all(done | ~finite | stalled | dead)
         return (
             it + 1, upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
             xb, yEb, yCb, sb_, errb, itdone, mu, err, stall, alldone,

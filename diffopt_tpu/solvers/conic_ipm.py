@@ -463,6 +463,20 @@ class _State(NamedTuple):
     mu_prev: Array
     err_prev: Array
     stall: Array
+    # Best-iterate tracking (same scheme as the fused kernel and the
+    # nsipm): near the attainable floor the iterate oscillates, and once
+    # complementarity collapses (mu <= 0) the NT scaling and
+    # step-to-boundary are meaningless — without the best-state return, an
+    # instance whose requested tol sits just below its floor would keep
+    # stepping past convergence until the iterate EXPLODES and report the
+    # wreckage (measured: the epigraph-RSOC-lowered QP at tol=1e-11
+    # reached err 1.7e-11 at it=8, went mu < 0 at it=16, took a NEGATIVE
+    # alpha at it=31, and finished at pres 0.72 with converged=False).
+    x_best: Array
+    yE_best: Array
+    yC_best: Array
+    s_best: Array
+    err_best: Array
 
 
 def solve(
@@ -743,14 +757,18 @@ def _solve_impl(
         frac = jnp.asarray(step_frac, dt)
         a_cp, a_cd = mstep_pair(Winv(sc, ds), W(sc, dyC))
         alpha = frac * jnp.minimum(a_cp, a_cd)
-        alpha = jnp.minimum(alpha, jnp.asarray(1.0, dt))
+        alpha = jnp.clip(alpha, jnp.asarray(0.0, dt), jnp.asarray(1.0, dt))
 
         finite = jnp.logical_and(
             jnp.isfinite(alpha),
             jnp.all(jnp.isfinite(jnp.concatenate([dx, dyE, dyC, ds]))),
         )
+        # once complementarity collapses the scaling is meaningless and
+        # further steps only corrupt the iterate — freeze (best-iterate
+        # still carries the converged point out)
+        dead = mu <= 0.0
         # freeze via select, not alpha = 0: 0 * NaN would poison the state
-        step = jnp.logical_and(finite, jnp.logical_not(done_now))
+        step = finite & jnp.logical_not(done_now) & jnp.logical_not(dead)
         upd = lambda v, dv: jnp.where(step, v + alpha * dv, v)
         # stagnation exit: a vmapped batch runs in lockstep until EVERY
         # instance exits, so a few stuck instances (neither mu nor the
@@ -762,21 +780,38 @@ def _solve_impl(
             mu > 0.98 * st.mu_prev, err > 0.98 * st.err_prev
         )
         stall = jnp.where(stalled_now, st.stall + 1, jnp.asarray(0, jnp.int32))
-        done = jnp.logical_or(
-            done_now, jnp.logical_or(jnp.logical_not(finite), stall >= 5)
+        done = (
+            done_now | jnp.logical_not(finite) | (stall >= 5) | dead
         )
+        better = err < st.err_best
+        bupd = lambda cur, best: jnp.where(better, cur, best)
         return _State(
             upd(x, dx), upd(yE, dyE), upd(yC, dyC), upd(s, ds),
             st.it + 1, done, mu, err, stall,
+            bupd(x, st.x_best), bupd(yE, st.yE_best),
+            bupd(yC, st.yC_best), bupd(s, st.s_best),
+            jnp.minimum(err, st.err_best),
         )
 
     st0 = _State(
         x, yE, yC, s, jnp.asarray(0, jnp.int32), jnp.asarray(False),
         jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt),
         jnp.asarray(0, jnp.int32),
+        x, yE, yC, s, jnp.asarray(jnp.inf, dt),
     )
     st = jax.lax.while_loop(cond, body, st0)
 
+    # the loop's best-iterate bookkeeping only sees states it stepped FROM;
+    # score the final iterate and return the better of the two
+    rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
+    pres_f, dres_f, gap_f = metrics(st.x, st.yE, st.yC, st.s, rd, rpE, rpC)
+    err_f = jnp.maximum(pres_f, jnp.maximum(dres_f, gap_f))
+    take_final = err_f <= st.err_best
+    pick = lambda fin, best: jnp.where(take_final, fin, best)
+    st = st._replace(
+        x=pick(st.x, st.x_best), yE=pick(st.yE, st.yE_best),
+        yC=pick(st.yC, st.yC_best), s=pick(st.s, st.s_best),
+    )
     rd, rpE, rpC = residuals(st.x, st.yE, st.yC, st.s)
     pres, dres, gaprel = metrics(st.x, st.yE, st.yC, st.s, rd, rpE, rpC)
     gap = jnp.dot(st.s, st.yC)
