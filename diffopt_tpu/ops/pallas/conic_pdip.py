@@ -139,7 +139,14 @@ def _ldl_value_loop(Kv, nn):
 
 def _ldl_solve_value_loop(L, d, rhs, nn):
     """Solve L D L' x = rhs (unit-lower L, rhs (nn, LANE)) via substitution
-    fori_loops over scratch refs (cf. ``pdip._chol_solve_value_loop``)."""
+    fori_loops over scratch refs (cf. ``pdip._chol_solve_value_loop``).
+    Only L' is staged: the forward solve runs in column-oriented saxpy form
+    (unit diagonal, so y_j is just the current r_j; then r_{i>j} -= L[i,j]
+    y_j, and R becomes y in place), the backward in row-dot form — both read
+    L's columns = L'-rows. One (nn, nn, LANE) matrix buffer instead of the
+    original L + L' pair keeps the scoped-vmem stack (~16 MB measured limit)
+    satisfied at the N = 128 gate boundary (two buffers hit 16.8 MB there)
+    and drops a full O(N^2 LANE) VMEM copy per call."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -147,39 +154,91 @@ def _ldl_solve_value_loop(L, d, rhs, nn):
     lane = rhs.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
 
-    def scoped(L_ref, Lt_ref, R_ref, Y_ref):
-        L_ref[:] = L
+    def scoped(Lt_ref, R_ref, X_ref):
         Lt_ref[:] = jnp.swapaxes(L, 0, 1)
         R_ref[:] = rhs
-        Y_ref[:] = jnp.zeros_like(rhs)
+        X_ref[:] = jnp.zeros_like(rhs)
 
         def fwd(j, _):
-            rowj = L_ref[pl.ds(j, 1)][0]  # (nn, LANE) = L[j, :], unit diag
-            rowj = rowj * (iota < j).astype(dt)  # strictly-left part
-            acc = jnp.sum(rowj[:, None] * Y_ref[:][:, None], axis=0)[0]  # (LANE,)
-            rhsj = R_ref[pl.ds(j, 1)][0]
-            Y_ref[pl.ds(j, 1)] = (rhsj - acc)[None]
+            colj = Lt_ref[pl.ds(j, 1)][0]  # (nn, LANE) = L[:, j], unit at j
+            yj = R_ref[pl.ds(j, 1)][0]  # (LANE,) — final: updates hit i > j
+            sub = colj * (iota > j).astype(dt)  # strictly-below part
+            R_ref[:] = R_ref[:] - sub * yj[None, :]
             return 0
 
-        jax.lax.fori_loop(0, nn, fwd, 0)
-        R_ref[:] = jnp.zeros_like(rhs)  # reuse as the X accumulator
+        jax.lax.fori_loop(0, nn, fwd, 0)  # R now holds y
 
         def bwd(t, _):
             j = nn - 1 - t
             colj = Lt_ref[pl.ds(j, 1)][0]  # (nn, LANE) = L[:, j]
             colj = colj * (iota > j).astype(dt)  # strictly-below part
-            acc = jnp.sum(colj[:, None] * R_ref[:][:, None], axis=0)[0]
-            yj = Y_ref[pl.ds(j, 1)][0]
+            acc = jnp.sum(colj[:, None] * X_ref[:][:, None], axis=0)[0]
+            yj = R_ref[pl.ds(j, 1)][0]
             dj = jnp.sum(d * (iota == j).astype(dt), axis=0)
-            R_ref[pl.ds(j, 1)] = (yj / dj - acc)[None]
+            X_ref[pl.ds(j, 1)] = (yj / dj - acc)[None]
             return 0
 
         jax.lax.fori_loop(0, nn, bwd, 0)
-        return R_ref[:]
+        return X_ref[:]
 
     return pl.run_scoped(
         scoped,
         pltpu.VMEM((nn, nn, lane), dt),
+        pltpu.VMEM((nn, lane), dt),
+        pltpu.VMEM((nn, lane), dt),
+    )
+
+
+def _ldl_solve_refine_loop(L, d, K, rhs, nn, passes):
+    """Solve L D L' x = rhs, then apply ``passes`` iterative-refinement
+    corrections against the assembled K, with L' staged into VMEM scratch
+    ONCE for all 1 + passes substitution sweeps (each separate
+    ``_ldl_solve_value_loop`` call would re-pay the O(N^2 LANE) staging
+    copy — at N = 128 that is ~8.4 MB per solve, 2-3x per direction)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dt = L.dtype
+    lane = rhs.shape[-1]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
+
+    def scoped(Lt_ref, R_ref, X_ref):
+        Lt_ref[:] = jnp.swapaxes(L, 0, 1)
+        X_ref[:] = jnp.zeros_like(rhs)
+
+        def one_solve(rhs_val):
+            R_ref[:] = rhs_val
+
+            def fwd(j, _):
+                colj = Lt_ref[pl.ds(j, 1)][0]  # L[:, j], unit at j
+                yj = R_ref[pl.ds(j, 1)][0]
+                sub = colj * (iota > j).astype(dt)
+                R_ref[:] = R_ref[:] - sub * yj[None, :]
+                return 0
+
+            jax.lax.fori_loop(0, nn, fwd, 0)  # R now holds y
+
+            def bwd(t, _):
+                j = nn - 1 - t
+                colj = Lt_ref[pl.ds(j, 1)][0]
+                colj = colj * (iota > j).astype(dt)
+                acc = jnp.sum(colj[:, None] * X_ref[:][:, None], axis=0)[0]
+                yj = R_ref[pl.ds(j, 1)][0]
+                dj = jnp.sum(d * (iota == j).astype(dt), axis=0)
+                X_ref[pl.ds(j, 1)] = (yj / dj - acc)[None]
+                return 0
+
+            jax.lax.fori_loop(0, nn, bwd, 0)
+            return X_ref[:]
+
+        sol = one_solve(rhs)
+        for _ in range(passes):
+            resid = rhs - jnp.sum(K * sol[None, :, :], axis=1)
+            sol = sol + one_solve(resid)
+        return sol
+
+    return pl.run_scoped(
+        scoped,
         pltpu.VMEM((nn, nn, lane), dt),
         pltpu.VMEM((nn, lane), dt),
         pltpu.VMEM((nn, lane), dt),
@@ -697,15 +756,20 @@ def _kernel(dims, socs, psds, iters, tol, reg, eps, *refs):
         if p:
             pieces.append(-rpE)
         rhs = jnp.concatenate(pieces, axis=0)
-        sol = _ldl_solve_any(L, dv, rhs, N)
         # refinement absorbs the remaining ~cond(W^2) elimination growth of
         # the cone-first factorization in f32; psd W^2 blocks condition
         # orders worse than soc near convergence (cf. conic_ipm refine_iters
         # bump), so they get a second pass — without it lanes hover at
         # pres ~1e-5 vs tol 5e-6 and churn to the iteration cap (measured)
-        for _ in range(2 if psd_sides else 1):
-            resid = rhs - jnp.sum(K * sol[None, :, :], axis=1)
-            sol = sol + _ldl_solve_any(L, dv, resid, N)
+        passes = 2 if psd_sides else 1
+        if N <= _LDL_UNROLL_MAX:
+            sol = _ldl_solve_value(L, dv, rhs, N)
+            for _ in range(passes):
+                resid = rhs - jnp.sum(K * sol[None, :, :], axis=1)
+                sol = sol + _ldl_solve_value(L, dv, resid, N)
+        else:
+            # loop path: stage L' into scratch once for all sweeps
+            sol = _ldl_solve_refine_loop(L, dv, K, rhs, N, passes)
         dyC = sol[:mC]
         dx = sol[mC : mC + n]
         dyE = sol[mC + n :] if p else jnp.zeros((1, LANE), dt)

@@ -222,7 +222,7 @@ def _solve3_sym_ll(A, b):
 
 
 def _kernel(
-    dims, socs, ns_kinds, iters, tol, reg, eps, step_frac, neighborhood,
+    dims, socs, ns_kinds, iters, tol, reg, eps, neighborhood,
     pred_grid, cent_grid, *refs,
 ):
     n, p, l = dims
@@ -637,8 +637,18 @@ def solve_tile_fused_ns(
     """Run the fused nonsymmetric-cone kernel on internally-laid-out batch
     data (batch-FIRST inputs, cf. ``conic_pdip.solve_tile_fused``;
     ``layout = (p, l, soc_dims, ns_kinds)`` with ns_kinds a tuple of
-    (kind, alpha)). Returns (x, yE, yC, s, iterations, pres, dres, gaprel)."""
+    (kind, alpha)). Returns (x, yE, yC, s, iterations, pres, dres, gaprel).
+
+    Requires ``p >= 1``: equality-free layouts would trace zero-sized
+    ``(0, LANE)`` values into the kernel, which Mosaic cannot lower (repo
+    rule: guard p==0 outside kernels) — ``conic_nsipm.solve_batched_fused``
+    routes such programs to the vmapped XLA path instead."""
     p, l, soc_dims, ns_kinds = layout
+    if p == 0:
+        raise ValueError(
+            "solve_tile_fused_ns requires p >= 1 equality rows; route "
+            "equality-free programs through conic_nsipm.solve_batched"
+        )
     B, n = c.shape
     mC = bC.shape[-1]
     dt = c.dtype
@@ -684,7 +694,7 @@ def solve_tile_fused_ns(
     out = pl.pallas_call(
         partial(
             _kernel, (n, p, l), tuple(soc_dims), tuple(ns_kinds),
-            max_iters, tol, reg, eps, step_frac, neighborhood,
+            max_iters, tol, reg, eps, neighborhood,
             pred_grid, cent_grid,
         ),
         grid=(Bp // LANE,),

@@ -138,10 +138,14 @@ def _chol_value_loop(Hv, n):
 
 def _chol_solve_value_loop(L, rhs, n):
     """Solve L L' x = rhs for rhs (n, k, LANE) via substitution loops over
-    VMEM scratch refs: L (for forward rows), L' (for backward rows = L
-    columns), the rhs, and the running solution all get dynamic row access;
-    the per-step inner product is the masked-full contraction (solution rows
-    not yet computed are zero)."""
+    VMEM scratch refs holding ONLY L' — both sweeps read L's columns, which
+    are L's rows transposed: the forward solve in column-oriented saxpy form
+    (after y_j is fixed, r_{i>j} -= L[i,j] y_j, so row j of R is final and
+    R becomes y in place), the backward in row-dot form. One (n, n, LANE)
+    matrix buffer instead of the original L + L' pair keeps the scoped-vmem
+    stack (~16 MB measured limit) satisfied across the whole n <= 128 gate —
+    two matrix buffers overflow it past n ~ 116 at k = 24 — and drops a full
+    O(n^2 LANE) VMEM copy per call."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -150,38 +154,37 @@ def _chol_solve_value_loop(L, rhs, n):
     lane = rhs.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # 2D: no 1D iota
 
-    def scoped(L_ref, Lt_ref, R_ref, Y_ref):
-        L_ref[:] = L
+    def scoped(Lt_ref, R_ref, X_ref):
         Lt_ref[:] = jnp.swapaxes(L, 0, 1)
         R_ref[:] = rhs
-        Y_ref[:] = jnp.zeros_like(rhs)
+        X_ref[:] = jnp.zeros_like(rhs)
 
         def fwd(j, _):
-            rowj = L_ref[pl.ds(j, 1)][0]  # (n, LANE) = L[j, :]
-            ljj = jnp.sum(rowj * (iota == j).astype(dt), axis=0)  # (LANE,)
-            acc = jnp.sum(rowj[:, None, :] * Y_ref[:], axis=0)  # (k, LANE)
-            rhsj = R_ref[pl.ds(j, 1)][0]  # (k, LANE)
-            Y_ref[pl.ds(j, 1)] = ((rhsj - acc) / ljj[None, :])[None]
+            colj = Lt_ref[pl.ds(j, 1)][0]  # (n, LANE) = L[:, j]
+            ljj = jnp.sum(colj * (iota == j).astype(dt), axis=0)  # (LANE,)
+            yj = R_ref[pl.ds(j, 1)][0] / ljj[None, :]  # (k, LANE)
+            sub = colj * (iota > j).astype(dt)  # strictly-below part
+            R_ref[:] = R_ref[:] - sub[:, None, :] * yj[None, :, :]
+            R_ref[pl.ds(j, 1)] = yj[None]
             return 0
 
-        jax.lax.fori_loop(0, n, fwd, 0)
-        R_ref[:] = jnp.zeros_like(rhs)  # reuse as the X accumulator
+        jax.lax.fori_loop(0, n, fwd, 0)  # R now holds y
 
         def bwd(t, _):
             j = n - 1 - t
             colj = Lt_ref[pl.ds(j, 1)][0]  # (n, LANE) = L[:, j]
             ljj = jnp.sum(colj * (iota == j).astype(dt), axis=0)
-            acc = jnp.sum(colj[:, None, :] * R_ref[:], axis=0)
-            yj = Y_ref[pl.ds(j, 1)][0]
-            R_ref[pl.ds(j, 1)] = ((yj - acc) / ljj[None, :])[None]
+            blw = colj * (iota > j).astype(dt)
+            acc = jnp.sum(blw[:, None, :] * X_ref[:], axis=0)  # (k, LANE)
+            yj = R_ref[pl.ds(j, 1)][0]
+            X_ref[pl.ds(j, 1)] = ((yj - acc) / ljj[None, :])[None]
             return 0
 
         jax.lax.fori_loop(0, n, bwd, 0)
-        return R_ref[:]
+        return X_ref[:]
 
     return pl.run_scoped(
         scoped,
-        pltpu.VMEM((n, n, lane), dt),
         pltpu.VMEM((n, n, lane), dt),
         pltpu.VMEM((n, k, lane), dt),
         pltpu.VMEM((n, k, lane), dt),

@@ -879,9 +879,11 @@ def solve_batched_fused(
             # max_iters default is its own config knob)
             if cp.c.ndim == 2:
                 return conic_nsipm.solve_batched_fused(
-                    cp, max_iters=max_iters, tol=tol
+                    cp, max_iters=max_iters, tol=tol, reg=reg
                 )
-            return conic_nsipm.solve_batched(cp, max_iters=max_iters, tol=tol)
+            return conic_nsipm.solve_batched(
+                cp, max_iters=max_iters, tol=tol, reg=reg
+            )
         return _dr_fallback()
     if max_iters is None:
         max_iters = cfg.ipm_max_iters
@@ -891,11 +893,18 @@ def solve_batched_fused(
     if mC == 0:
         # equality-only program: nothing for an IPM to scale
         return _dr_fallback()
-    if any(d > 6 for d in psd_sides) or N > 128 or cp.c.ndim != 2:
+    from ..ops.pallas.conic_pdip import _interpret
+
+    psd_cap = 3 if _interpret() else 6
+    if any(d > psd_cap for d in psd_sides) or N > 128 or cp.c.ndim != 2:
         # psd sides past the in-kernel Jacobi envelope (unrolled rotation
         # sweeps) and Newton systems past the scratch-ref loop-LDL' envelope
         # (N <= 128, cf. the fused QP's n cap): the vmapped XLA IPM
-        # (batched Jacobi eigh NT scaling + Pallas LDL')
+        # (batched Jacobi eigh NT scaling + Pallas LDL'). Off-TPU the cap
+        # tightens to side <= 3: XLA:CPU compiles the interpret-mode Jacobi
+        # rotation slice+concat chains superlinearly (d=4 measured > 10 min
+        # — an effective hang vs seconds through the XLA IPM; Mosaic
+        # compiles the same d=4 kernel in ~30 s on TPU).
         return solve_batched(cp, max_iters=max_iters, tol=tol, reg=reg)
     if tol is None:
         tol = cfg.ipm_tol(dt)

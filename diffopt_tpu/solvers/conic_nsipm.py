@@ -887,7 +887,13 @@ def solve_batched_fused(
         psd_sides or not ns_blocks or mC == 0 or p == 0
         or N > 128 or cp.c.ndim != 2
     ):
-        return solve_batched(cp, max_iters=max_iters, tol=tol)
+        # forward the caller's full tuning surface — a fallback that silently
+        # reverts reg/step_frac/neighborhood to defaults would change
+        # iterates (and possibly the converged flag) with no error
+        return solve_batched(
+            cp, max_iters=max_iters, tol=tol, reg=reg,
+            step_frac=step_frac, neighborhood=neighborhood,
+        )
     if max_iters is None:
         max_iters = cfg.nsipm_max_iters
     if tol is None:

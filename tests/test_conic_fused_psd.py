@@ -10,6 +10,7 @@ on XLA:CPU (d=4 blows past 10 min; d=3 is ~40 s), while Mosaic compiles the
 d=4 kernel in ~30 s on TPU (measured)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -139,3 +140,76 @@ def test_fused_conic_loop_ldl_envelope_n80():
     np.testing.assert_allclose(
         np.asarray(solf.x), np.asarray(solx.x), atol=1e-7
     )
+
+
+@pytest.mark.slow
+def test_fused_conic_loop_ldl_envelope_n128_cap_boundary():
+    """The exact N = 128 gate boundary (`solve_batched_fused` admits
+    N <= 128). This is the size where the original two-matrix-buffer
+    substitution scratch hit 16.8 MB — past the ~16 MB scoped-vmem stack
+    limit; the single-L' form (`_ldl_solve_refine_loop`) stays at ~8.5 MB.
+    Interpret-mode here pins the algebra; `entry()`'s N = 90 loop batch
+    Mosaic-gates the lowering on TPU."""
+    from diffopt_tpu.ops.pallas import conic_pdip
+
+    rng = np.random.default_rng(5)
+    B, n = 4, 16
+    soc_ds = (14, 14)
+    cones = ConeSpec(
+        [("zero", 4), ("nonneg", 80)] + [("soc", d) for d in soc_ds]
+    )
+    m = cones.total_dim
+    N = n + m
+    assert N == 128 > conic_pdip._LDL_UNROLL_MAX
+    A_b, b_b, c_b = [], [], []
+    for _ in range(B):
+        A = rng.normal(size=(m, n)) / np.sqrt(n)
+        xs = rng.normal(size=n)
+        socs, socy = [], []
+        for d in soc_ds:
+            v = rng.normal(size=d - 1)
+            socs.append(np.concatenate([[np.linalg.norm(v) + 0.4], v]))
+            w = rng.normal(size=d - 1) * 0.1
+            socy.append(np.concatenate([[np.linalg.norm(w) + 0.3], w]))
+        s_star = np.concatenate(
+            [np.zeros(4), np.abs(rng.normal(size=80)) + 0.2] + socs
+        )
+        y_star = np.concatenate(
+            [rng.normal(size=4), np.abs(rng.normal(size=80)) + 0.2] + socy
+        )
+        A_b.append(A)
+        b_b.append(A @ xs + s_star)
+        c_b.append(-A.T @ y_star)
+    cp = ConeProgram(
+        A=jnp.asarray(np.stack(A_b)),
+        b=jnp.asarray(np.stack(b_b)),
+        c=jnp.asarray(np.stack(c_b)),
+        cones=cones,
+    )
+    solf, infof = conic_ipm.solve_batched_fused(cp)
+    solx, infox = conic_ipm.solve_batched(cp)
+    assert bool(jnp.all(infof.converged))
+    assert bool(jnp.all(infox.converged))
+    np.testing.assert_allclose(
+        np.asarray(solf.x), np.asarray(solx.x), atol=1e-7
+    )
+
+
+def test_fused_gate_psd_side4_routes_to_xla_off_tpu(monkeypatch):
+    """Off-TPU the fused gate must cap psd sides at 3: XLA:CPU compiles the
+    interpret-mode Jacobi rotation chains superlinearly (side 4 measured
+    > 10 min — an effective hang), while the vmapped XLA IPM solves the
+    same program in seconds. Poison the kernel entry to prove the route."""
+    from diffopt_tpu.ops.pallas import conic_pdip
+
+    assert conic_pdip._interpret()  # test env forces CPU
+
+    def _boom(*a, **k):  # pragma: no cover - the assertion IS the route
+        raise AssertionError(
+            "fused kernel must not run interpret-mode psd side > 3"
+        )
+
+    monkeypatch.setattr(conic_pdip, "solve_tile_fused", _boom)
+    cp = _sdp_batch(B=2, side=4, n=3)
+    sol, info = conic_ipm.solve_batched_fused(cp)
+    assert bool(jnp.all(info.converged))
