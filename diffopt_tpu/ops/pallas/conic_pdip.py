@@ -137,64 +137,20 @@ def _ldl_value_loop(Kv, nn):
     )
 
 
-def _ldl_solve_value_loop(L, d, rhs, nn):
-    """Solve L D L' x = rhs (unit-lower L, rhs (nn, LANE)) via substitution
-    fori_loops over scratch refs (cf. ``pdip._chol_solve_value_loop``).
-    Only L' is staged: the forward solve runs in column-oriented saxpy form
-    (unit diagonal, so y_j is just the current r_j; then r_{i>j} -= L[i,j]
-    y_j, and R becomes y in place), the backward in row-dot form — both read
-    L's columns = L'-rows. One (nn, nn, LANE) matrix buffer instead of the
-    original L + L' pair keeps the scoped-vmem stack (~16 MB measured limit)
-    satisfied at the N = 128 gate boundary (two buffers hit 16.8 MB there)
-    and drops a full O(N^2 LANE) VMEM copy per call."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    dt = L.dtype
-    lane = rhs.shape[-1]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (nn, 1), 0)
-
-    def scoped(Lt_ref, R_ref, X_ref):
-        Lt_ref[:] = jnp.swapaxes(L, 0, 1)
-        R_ref[:] = rhs
-        X_ref[:] = jnp.zeros_like(rhs)
-
-        def fwd(j, _):
-            colj = Lt_ref[pl.ds(j, 1)][0]  # (nn, LANE) = L[:, j], unit at j
-            yj = R_ref[pl.ds(j, 1)][0]  # (LANE,) — final: updates hit i > j
-            sub = colj * (iota > j).astype(dt)  # strictly-below part
-            R_ref[:] = R_ref[:] - sub * yj[None, :]
-            return 0
-
-        jax.lax.fori_loop(0, nn, fwd, 0)  # R now holds y
-
-        def bwd(t, _):
-            j = nn - 1 - t
-            colj = Lt_ref[pl.ds(j, 1)][0]  # (nn, LANE) = L[:, j]
-            colj = colj * (iota > j).astype(dt)  # strictly-below part
-            acc = jnp.sum(colj[:, None] * X_ref[:][:, None], axis=0)[0]
-            yj = R_ref[pl.ds(j, 1)][0]
-            dj = jnp.sum(d * (iota == j).astype(dt), axis=0)
-            X_ref[pl.ds(j, 1)] = (yj / dj - acc)[None]
-            return 0
-
-        jax.lax.fori_loop(0, nn, bwd, 0)
-        return X_ref[:]
-
-    return pl.run_scoped(
-        scoped,
-        pltpu.VMEM((nn, nn, lane), dt),
-        pltpu.VMEM((nn, lane), dt),
-        pltpu.VMEM((nn, lane), dt),
-    )
-
-
 def _ldl_solve_refine_loop(L, d, K, rhs, nn, passes):
-    """Solve L D L' x = rhs, then apply ``passes`` iterative-refinement
-    corrections against the assembled K, with L' staged into VMEM scratch
-    ONCE for all 1 + passes substitution sweeps (each separate
-    ``_ldl_solve_value_loop`` call would re-pay the O(N^2 LANE) staging
-    copy — at N = 128 that is ~8.4 MB per solve, 2-3x per direction)."""
+    """Solve L D L' x = rhs (unit-lower L, rhs (nn, LANE)) via substitution
+    fori_loops over scratch refs (cf. ``pdip._chol_solve_value_loop``),
+    then apply ``passes`` iterative-refinement corrections against the
+    assembled K (pass ``K=None, passes=0`` for a plain solve). Only L' is
+    staged, ONCE for all 1 + passes substitution sweeps: the forward solve
+    runs in column-oriented saxpy form (unit diagonal, so y_j is just the
+    current r_j; then r_{i>j} -= L[i,j] y_j, and R becomes y in place), the
+    backward in row-dot form — both read L's columns = L'-rows. One
+    (nn, nn, LANE) matrix buffer instead of an L + L' pair keeps the
+    scoped-vmem stack (~16 MB measured limit) satisfied at the N = 128 gate
+    boundary (two buffers hit 16.8 MB there; re-staging per sweep would
+    also re-pay the ~8.4 MB O(N^2 LANE) copy at N = 128, 2-3x per
+    direction)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -254,7 +210,7 @@ def _ldl_any(Kv, nn):
 def _ldl_solve_any(L, d, rhs, nn):
     if nn <= _LDL_UNROLL_MAX:
         return _ldl_solve_value(L, d, rhs, nn)
-    return _ldl_solve_value_loop(L, d, rhs, nn)
+    return _ldl_solve_refine_loop(L, d, None, rhs, nn, passes=0)
 
 
 # --- lane-aware Jordan / NT helpers on (mC, LANE) values ---------------------

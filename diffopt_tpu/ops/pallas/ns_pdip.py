@@ -225,15 +225,12 @@ def _kernel(
     dims, socs, ns_kinds, iters, tol, reg, eps, neighborhood,
     pred_grid, cent_grid, *refs,
 ):
+    # p >= 1 is guaranteed by solve_tile_fused_ns's guard (equality-free
+    # layouts route to the vmapped XLA path), so no p == 0 branches here.
     n, p, l = dims
-    if p:
-        (c_ref, bE_ref, bC_ref, AE_ref, AC_ref,
-         x_ref, yE_ref, yC_ref, s_ref, it_ref, pres_ref, dres_ref,
-         gap_ref) = refs
-    else:
-        (c_ref, bC_ref, AC_ref,
-         x_ref, yC_ref, s_ref, it_ref, pres_ref, dres_ref, gap_ref) = refs
-        bE_ref = AE_ref = yE_ref = None
+    (c_ref, bE_ref, bC_ref, AE_ref, AC_ref,
+     x_ref, yE_ref, yC_ref, s_ref, it_ref, pres_ref, dres_ref,
+     gap_ref) = refs
     soc_dims = socs
     n_ns = len(ns_kinds)
     mC = l + sum(soc_dims) + 3 * n_ns
@@ -242,8 +239,8 @@ def _kernel(
     c = c_ref[:]
     bC = bC_ref[:]
     AC = AC_ref[:]
-    bE = bE_ref[:] if p else None
-    AE = AE_ref[:] if p else None
+    bE = bE_ref[:]
+    AE = AE_ref[:]
     slices = _soc_slices(l, soc_dims)
     nslices = _ns_slices(l, soc_dims, n_ns)
     nu_deg = max(l + 2 * len(soc_dims) + 3 * n_ns, 1)
@@ -370,10 +367,8 @@ def _kernel(
         return q
 
     def residuals(x, yE, yC, s):
-        rd = c + rmv(AC, yC)
-        if p:
-            rd = rd + rmv(AE, yE)
-        rpE = mv(AE, x) - bE if p else jnp.zeros((p, LANE), dt)
+        rd = c + rmv(AC, yC) + rmv(AE, yE)
+        rpE = mv(AE, x) - bE
         rpC = mv(AC, x) + s - bC
         return rd, rpE, rpC
 
@@ -386,12 +381,11 @@ def _kernel(
         b2 = jnp.sum(bC * bC, axis=0)
         pres2 = jnp.sum(rpC * rpC, axis=0)
         dobj = -jnp.sum(bC * yC, axis=0)
-        if p:
-            AxE = rpE + bE
-            Ax2 = Ax2 + jnp.sum(AxE * AxE, axis=0)
-            b2 = b2 + jnp.sum(bE * bE, axis=0)
-            pres2 = pres2 + jnp.sum(rpE * rpE, axis=0)
-            dobj = dobj - jnp.sum(bE * yE, axis=0)
+        AxE = rpE + bE
+        Ax2 = Ax2 + jnp.sum(AxE * AxE, axis=0)
+        b2 = b2 + jnp.sum(bE * bE, axis=0)
+        pres2 = pres2 + jnp.sum(rpE * rpE, axis=0)
+        dobj = dobj - jnp.sum(bE * yE, axis=0)
         psc = 1.0 + jnp.maximum(jnp.sqrt(Ax2), jnp.maximum(nrm(s), jnp.sqrt(b2)))
         pres = jnp.sqrt(pres2) / psc
         dsc = 1.0 + jnp.maximum(nrm(rd - c), nrm(c))
@@ -403,36 +397,28 @@ def _kernel(
     def factor(Hbar, Hbar_inv):
         eye_n = reg * jnp.eye(n, dtype=dt)[:, :, None] * jnp.ones((1, 1, LANE), dt)
         ACt = jnp.swapaxes(AC, 0, 1)
-        if p:
-            AEt = jnp.swapaxes(AE, 0, 1)
-            top = jnp.concatenate(
-                [-Hbar_inv, AC, jnp.zeros((mC, p, LANE), dt)], axis=1
-            )
-            mid = jnp.concatenate([ACt, eye_n, AEt], axis=1)
-            eye_p = -reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones(
-                (1, 1, LANE), dt
-            )
-            bot = jnp.concatenate(
-                [jnp.zeros((p, mC, LANE), dt), AE, eye_p], axis=1
-            )
-            K = jnp.concatenate([top, mid, bot], axis=0)
-        else:
-            top = jnp.concatenate([-Hbar_inv, AC], axis=1)
-            bot = jnp.concatenate([ACt, eye_n], axis=1)
-            K = jnp.concatenate([top, bot], axis=0)
+        AEt = jnp.swapaxes(AE, 0, 1)
+        top = jnp.concatenate(
+            [-Hbar_inv, AC, jnp.zeros((mC, p, LANE), dt)], axis=1
+        )
+        mid = jnp.concatenate([ACt, eye_n, AEt], axis=1)
+        eye_p = -reg * jnp.eye(p, dtype=dt)[:, :, None] * jnp.ones(
+            (1, 1, LANE), dt
+        )
+        bot = jnp.concatenate(
+            [jnp.zeros((p, mC, LANE), dt), AE, eye_p], axis=1
+        )
+        K = jnp.concatenate([top, mid, bot], axis=0)
         L, dv = _ldl_any(K, N)
         return L, dv, K, Hbar, Hbar_inv
 
     def solve_dir_once(F, rd, rpE, rpC, g):
         L, dv, K, Hbar, Hbar_inv = F
-        pieces = [-rpC + mv(Hbar_inv, g), -rd]
-        if p:
-            pieces.append(-rpE)
-        rhs = jnp.concatenate(pieces, axis=0)
+        rhs = jnp.concatenate([-rpC + mv(Hbar_inv, g), -rd, -rpE], axis=0)
         sol = _ldl_solve_any(L, dv, rhs, N)
         dyC = sol[:mC]
         dx = sol[mC : mC + n]
-        dyE = sol[mC + n :] if p else jnp.zeros((1, LANE), dt)
+        dyE = sol[mC + n :]
         ds = -mv(Hbar_inv, g + dyC)
         return dx, dyE, dyC, ds
 
@@ -441,8 +427,8 @@ def _kernel(
         L, dv, K, Hbar, Hbar_inv = F
         for _ in range(refine):
             dx, dyE, dyC, ds = d
-            r1 = -rd - (rmv(AC, dyC) + (rmv(AE, dyE) if p else 0.0))
-            r2 = (-rpE - mv(AE, dx)) if p else jnp.zeros((p, LANE), dt)
+            r1 = -rd - (rmv(AC, dyC) + rmv(AE, dyE))
+            r2 = -rpE - mv(AE, dx)
             r3 = -rpC - (mv(AC, dx) + ds)
             r4 = -g - (dyC + mv(Hbar, ds))
             c1, c2, c3, c4 = solve_dir_once(F, -r1, -r2, -r3, -r4)
@@ -469,7 +455,7 @@ def _kernel(
     s = jnp.concatenate(parts, axis=0)
     yC = -grad_barrier(s)
     x = jnp.zeros((n, LANE), dt)
-    yE = jnp.zeros((max(p, 1), LANE), dt)
+    yE = jnp.zeros((p, LANE), dt)
 
     beta_wide = jnp.asarray(neighborhood, dt)
     alpha_stall = 0.05
@@ -565,9 +551,8 @@ def _kernel(
             & jnp.all(jnp.isfinite(dyC), axis=0)
             & jnp.all(jnp.isfinite(ds), axis=0)
             & jnp.isfinite(alpha)
+            & jnp.all(jnp.isfinite(dyE), axis=0)
         )
-        if p:
-            finite = finite & jnp.all(jnp.isfinite(dyE), axis=0)
         # mu <= 0 cannot arise from the interiority-checked line searches,
         # but freeze defensively (cf. conic_pdip.py)
         dead = mu <= 0.0
@@ -610,8 +595,7 @@ def _kernel(
     yC_out = sel(yC, yCb)
     s_out = sel(s, sb_)
     x_ref[:] = x_out
-    if p:
-        yE_ref[:] = yE_out
+    yE_ref[:] = yE_out
     yC_ref[:] = yC_out
     s_ref[:] = s_out
     rd, rpE, rpC = residuals(x_out, yE_out, yC_out, s_out)
@@ -665,10 +649,7 @@ def solve_tile_fused_ns(
         jnp.concatenate([x, jnp.repeat(x[:1], padB, 0)], 0) if padB else x
     )
     to_ll = lambda x: jnp.moveaxis(pad(x), 0, -1)
-    if p:
-        args = [to_ll(c), to_ll(bE), to_ll(bC), to_ll(AE), to_ll(AC)]
-    else:
-        args = [to_ll(c), to_ll(bC), to_ll(AC)]
+    args = [to_ll(c), to_ll(bE), to_ll(bC), to_ll(AE), to_ll(AC)]
     Bp = B + padB
 
     def spec(x):
@@ -680,11 +661,11 @@ def solve_tile_fused_ns(
     vec_spec = lambda r: pl.BlockSpec(
         (r, LANE), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    out_specs = [vec_spec(n)]
-    out_shape = [jax.ShapeDtypeStruct((n, Bp), dt)]
-    if p:
-        out_specs.append(vec_spec(p))
-        out_shape.append(jax.ShapeDtypeStruct((p, Bp), dt))
+    out_specs = [vec_spec(n), vec_spec(p)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, Bp), dt),
+        jax.ShapeDtypeStruct((p, Bp), dt),
+    ]
     out_specs += [vec_spec(mC), vec_spec(mC)] + [vec_spec(1)] * 4
     out_shape += [
         jax.ShapeDtypeStruct((mC, Bp), dt),
@@ -707,13 +688,8 @@ def solve_tile_fused_ns(
         interpret=_interpret(),
     )(*args)
     back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
-    if p:
-        x, yE, yC, s, it, pres, dres, gap = out
-        yE = back(yE)
-    else:
-        x, yC, s, it, pres, dres, gap = out
-        yE = jnp.zeros((B, 0), dt)
+    x, yE, yC, s, it, pres, dres, gap = out
     return (
-        back(x), yE, back(yC), back(s),
+        back(x), back(yE), back(yC), back(s),
         back(it)[:, 0], back(pres)[:, 0], back(dres)[:, 0], back(gap)[:, 0],
     )

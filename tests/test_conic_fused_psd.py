@@ -96,7 +96,7 @@ def test_fused_psd_vjp_matches_unbatched():
 def test_fused_conic_loop_ldl_envelope_n80():
     """Newton systems past the unrolled-LDL' envelope (N > _LDL_UNROLL_MAX
     = 72) take the scratch-ref fori-loop LDL' (``_ldl_value_loop`` /
-    ``_ldl_solve_value_loop``) — the round-3 ask #7 cap raise (N <= 128,
+    ``_ldl_solve_refine_loop``) — the round-3 ask #7 cap raise (N <= 128,
     previously 64). A zero+nonneg+soc program sized to N = 80 must match
     the vmapped XLA IPM through the loop path (interpret mode)."""
     from diffopt_tpu.ops.pallas import conic_pdip
