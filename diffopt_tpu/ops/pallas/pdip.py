@@ -351,7 +351,8 @@ def _pdip_kernel(
         lam = jnp.zeros((m, LANE), dt)
 
     def body(carry):
-        it, z, nu, lam, s, zb, nub, lamb, sb, errb, _ = carry
+        (it, z, nu, lam, s, zb, nub, lamb, sb, errb,
+         mu_prev, err_prev, stall, _) = carry
         rd, rpe, rpi, dscale, pscale, gscale = residuals(z, nu, lam, s)
         if m:
             mu = jnp.sum(s * lam, axis=0) / m  # (LANE,)
@@ -390,6 +391,17 @@ def _pdip_kernel(
         sel = lambda new, old: jnp.where(better[None, :], new, old)
         zb, nub, lamb, sb = sel(z, zb), sel(nu, nub), sel(lam, lamb), sel(s, sb)
         errb = jnp.where(better, err, errb)
+        # per-lane stall exit (same scheme as the fused conic IPM): on the
+        # headline bench distribution ~30-40% of f32 lanes floor at the
+        # complementarity limit above the relative tol and oscillate — they
+        # never set `done`, so without this the tile-level early exit never
+        # fires and every tile runs the full `iters` cap (measured: staged
+        # p50 is 7 iterations while tiles ran 25). Five consecutive
+        # iterations without >2% progress on BOTH mu and err ⇒ the lane is
+        # at its floor; freeze it on its best iterate.
+        stalled_now = (mu > 0.98 * mu_prev) & (err > 0.98 * err_prev)
+        stall = jnp.where(stalled_now, stall + 1, jnp.zeros_like(stall))
+        stalled = stall >= 5
         finite = (
             jnp.all(jnp.isfinite(dz), axis=0)
             & jnp.all(jnp.isfinite(dnu), axis=0)
@@ -398,16 +410,17 @@ def _pdip_kernel(
         )
         # per-lane freeze via select, NOT alpha=0: 0 * NaN would poison the
         # state of a lane whose direction blew up
-        step = (finite & ~done)[None, :]
+        step = (finite & ~done & ~stalled)[None, :]
         alpha = jnp.where(jnp.isfinite(alpha), alpha, 0.0)[None, :]
         upd = lambda x, dx: jnp.where(step, x + alpha * dx, x)
-        # tile-level early exit: once every lane is converged (or dead), the
-        # while_loop below stops — on well-conditioned batches typical
-        # convergence is ~12-16 iterations, so this saves the fixed-25 tail
-        alldone = jnp.all(done | ~finite)
+        # tile-level early exit: once every lane is converged, stalled, or
+        # dead, the while_loop below stops — on well-conditioned batches
+        # typical convergence is ~12-16 iterations, so this saves the
+        # fixed-25 tail
+        alldone = jnp.all(done | ~finite | stalled)
         return (
             it + 1, upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds),
-            zb, nub, lamb, sb, errb, alldone,
+            zb, nub, lamb, sb, errb, mu, err, stall, alldone,
         )
 
     def cond(carry):
@@ -415,12 +428,14 @@ def _pdip_kernel(
         return (it < iters) & ~alldone
 
     big = jnp.full((LANE,), 1e30, dt)
-    _, z, nu, lam, s, zb, nub, lamb, sb, errb, _ = jax.lax.while_loop(
+    (_, z, nu, lam, s, zb, nub, lamb, sb, errb,
+     _, _, _, _) = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.zeros((), jnp.int32), z, nu, lam, s,
-            z, nu, lam, s, big, jnp.zeros((), jnp.bool_),
+            z, nu, lam, s, big,
+            big, big, jnp.zeros((LANE,), jnp.int32), jnp.zeros((), jnp.bool_),
         ),
     )
     # the exit state never got a best-update inside the loop: score it once
