@@ -40,6 +40,8 @@ def main():
 
     # B amortizes both on-chip dispatch and the ~26ms axon-tunnel round-trip
     # (measured); per-instance work is unchanged
+    # (65536 with the 3 pre-built perturbed copies + gradients exhausts the
+    # v5e's 16 GB HBM — measured)
     B, n, m, p = 32768, 64, 32, 16
 
     qp = make_batch(B, n, m, p)
@@ -50,7 +52,13 @@ def main():
         sol = solve_qp_batched(qp, max_iters=25)  # fused Pallas PDIP + LDL VJP
         return jnp.sum(sol.z**2)
 
-    step = jax.jit(jax.value_and_grad(loss))
+    @jax.jit
+    def step(qp):
+        val, g = jax.value_and_grad(loss)(qp)
+        # fold a gradient element into the sync scalar INSIDE the jit: the
+        # host then forces value + gradient with a single executable and a
+        # single ~26 ms tunnel round trip
+        return val + g.q[0, 0], g
 
     # warmup: force the (deferred, remote) compile + first execution with a
     # scalar host transfer — block_until_ready alone is not reliable over the
@@ -61,8 +69,9 @@ def main():
     # vary the input every iteration (the tunnel memoizes executions with
     # bit-identical inputs) by perturbing ON DEVICE — uploading fresh host
     # batches through the tunnel would dominate wall time; sync each call
-    # via scalar host transfers
-    iters = 4
+    # via ONE scalar host transfer that depends on both the value and the
+    # gradient (each separate float() pays a full ~26 ms tunnel round trip)
+    iters = 3
     qps = []
     for i in range(iters):
         eps = np.float32(1e-7) * (i + 1)
@@ -71,8 +80,8 @@ def main():
     times = []
     for q_ in qps:
         t0 = time.perf_counter()
-        val, g = step(q_)
-        _ = float(val) + float(g.q[0, 0])
+        sync, g = step(q_)
+        _ = float(sync)
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
