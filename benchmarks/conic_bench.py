@@ -61,16 +61,29 @@ def main():
         sol = solve_conic_batched(cp, max_iters=50, tol=1e-5, method="gram")
         return jnp.sum(sol.x**2)
 
-    step = jax.jit(jax.value_and_grad(loss))
+    @jax.jit
+    def step(cp):
+        # fold a gradient element into the sync scalar inside the jit: one
+        # executable + one scalar transfer per timed call (each extra
+        # float() pays a full ~26 ms tunnel round trip — cf. ../bench.py)
+        val, g = jax.value_and_grad(loss)(cp)
+        return val + g.b[0, 0], g
+
     val, g = step(cp)
     _ = float(val)
 
+    # pre-build + block the perturbed inputs so their elementwise dispatches
+    # don't leak into the timed window
+    cps = [
+        jax.tree.map(lambda x: x * (1 + np.float32(1e-7) * (i + 1)), cp)
+        for i in range(3)
+    ]
+    jax.block_until_ready(cps)
     ts = []
-    for i in range(3):
-        cp2 = jax.tree.map(lambda x: x * (1 + np.float32(1e-7) * (i + 1)), cp)
+    for cp2 in cps:
         t0 = time.perf_counter()
-        val, g = step(cp2)
-        _ = float(val) + float(g.b[0, 0])
+        sync, g = step(cp2)
+        _ = float(sync)
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
     print(

@@ -80,19 +80,28 @@ def main():
         sol = solve_conic_batched(cp)
         return jnp.sum(sol.x**2)
 
-    step = jax.jit(jax.value_and_grad(loss))
+    @jax.jit
+    def step(cp):
+        # single sync scalar forcing value + gradient: one executable, one
+        # ~26 ms tunnel round trip per timed call (cf. ../bench.py)
+        val, g = jax.value_and_grad(loss)(cp)
+        return val + g.b[0, 0], g
+
     val, g = step(cp)
     _ = float(val)
 
-    ts = []
+    from diffopt_tpu.ir import ConeProgram
+
+    cps = []
     for i in range(3):
         cp2 = jax.tree.map(lambda x: x * (1 + np.float32(1e-7) * (i + 1)), cp)
-        from diffopt_tpu.ir import ConeProgram
-
-        cp2 = ConeProgram(A=cp2.A, b=cp2.b, c=cp2.c, cones=cp.cones)
+        cps.append(ConeProgram(A=cp2.A, b=cp2.b, c=cp2.c, cones=cp.cones))
+    jax.block_until_ready(cps)
+    ts = []
+    for cp2 in cps:
         t0 = time.perf_counter()
-        val, g = step(cp2)
-        _ = float(val) + float(g.b[0, 0])
+        sync, g = step(cp2)
+        _ = float(sync)
         ts.append(time.perf_counter() - t0)
     dt = float(np.median(ts))
     print(

@@ -197,3 +197,26 @@ def test_batched_with_info_per_instance():
     assert info.converged.shape == (4,)
     assert bool(jnp.all(info.converged))
     assert np.all(np.asarray(info.primal_residual) < 1e-3)
+
+
+def test_batched_info_flag_is_scale_relative():
+    """kkt_metrics (the fused path's `converged` source) must use the same
+    scale-RELATIVE criterion as the kernels' termination: a well-solved
+    batch whose data is scaled 100x has absolute residuals far above tol
+    (f32 cannot do better) but relative residuals at the usual floor — an
+    absolute flag would mark every instance unconverged and
+    `nan_on_unconverged` would NaN-poison valid solutions wholesale
+    (measured on the headline bench distribution, round 5)."""
+    from diffopt_tpu.solve import solve_qp_batched
+
+    rng = np.random.default_rng(35)
+    qps = [_qp(rng) for _ in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    # scale all data by 100: same solution map geometry (z* unchanged for
+    # (Q,q,G,h,A,b) -> (100Q,100q,G,h,A,b)? no — scale EVERYTHING, which
+    # rescales the objective and constraints uniformly, so z* is unchanged
+    # while residual absolutes grow ~100x
+    batch = jax.tree.map(lambda x: (100.0 * x).astype(jnp.float32), batch)
+    sol, info = solve_qp_batched(batch, with_info=True)
+    assert bool(jnp.all(info.converged)), np.asarray(info.primal_residual)
+    assert np.all(np.asarray(info.primal_residual) < 1e-3)
