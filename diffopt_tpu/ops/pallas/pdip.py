@@ -207,7 +207,7 @@ def _pdip_kernel(
     tol: float,
     reg: float,
     q_ref, b_ref, h_ref, Q_ref, G_ref, A_ref,
-    z_ref, lam_ref, nu_ref, s_ref,
+    z_ref, lam_ref, nu_ref, s_ref, it_ref,
 ):
     n, m, p = dims
     dt = q_ref.dtype
@@ -352,7 +352,7 @@ def _pdip_kernel(
 
     def body(carry):
         (it, z, nu, lam, s, zb, nub, lamb, sb, errb,
-         mu_prev, err_prev, stall, _) = carry
+         mu_prev, err_prev, stall, itdone, _) = carry
         rd, rpe, rpi, dscale, pscale, gscale = residuals(z, nu, lam, s)
         if m:
             mu = jnp.sum(s * lam, axis=0) / m  # (LANE,)
@@ -408,6 +408,13 @@ def _pdip_kernel(
             & jnp.all(jnp.isfinite(dlam), axis=0)
             & jnp.all(jnp.isfinite(ds), axis=0)
         )
+        # per-lane finish iteration: first body evaluation at which the
+        # lane is converged, stalled, or dead — `it` bodies have completed
+        # at that point (the conic kernel's itdone scheme)
+        itdone = jnp.where(
+            (done | stalled | ~finite) & (itdone < 0),
+            it.astype(dt) * jnp.ones((LANE,), dt), itdone,
+        )
         # per-lane freeze via select, NOT alpha=0: 0 * NaN would poison the
         # state of a lane whose direction blew up
         step = (finite & ~done & ~stalled)[None, :]
@@ -420,7 +427,7 @@ def _pdip_kernel(
         alldone = jnp.all(done | ~finite | stalled)
         return (
             it + 1, upd(z, dz), upd(nu, dnu), upd(lam, dlam), upd(s, ds),
-            zb, nub, lamb, sb, errb, mu, err, stall, alldone,
+            zb, nub, lamb, sb, errb, mu, err, stall, itdone, alldone,
         )
 
     def cond(carry):
@@ -428,14 +435,15 @@ def _pdip_kernel(
         return (it < iters) & ~alldone
 
     big = jnp.full((LANE,), 1e30, dt)
-    (_, z, nu, lam, s, zb, nub, lamb, sb, errb,
-     _, _, _, _) = jax.lax.while_loop(
+    (it, z, nu, lam, s, zb, nub, lamb, sb, errb,
+     _, _, _, itdone, _) = jax.lax.while_loop(
         cond,
         body,
         (
             jnp.zeros((), jnp.int32), z, nu, lam, s,
             z, nu, lam, s, big,
-            big, big, jnp.zeros((LANE,), jnp.int32), jnp.zeros((), jnp.bool_),
+            big, big, jnp.zeros((LANE,), jnp.int32),
+            jnp.full((LANE,), -1.0, dt), jnp.zeros((), jnp.bool_),
         ),
     )
     # the exit state never got a best-update inside the loop: score it once
@@ -451,6 +459,8 @@ def _pdip_kernel(
     lam_ref[:] = sel(lam, lamb)
     nu_ref[:] = sel(nu, nub)
     s_ref[:] = sel(s, sb)
+    itdone = jnp.where(itdone >= 0, itdone, it.astype(dt))
+    it_ref[:] = itdone[None, :]
 
 
 def solve_batched_fused(
@@ -459,9 +469,16 @@ def solve_batched_fused(
     max_iters: int = 25,
     tol: float | None = None,
     reg: float | None = None,
-) -> QPSolution:
+    return_iters: bool = False,
+):
     """Solve a (B, ...) batch of QPs with the fused kernel. B is padded to a
-    LANE multiple; returns AK17-convention primal-dual solutions."""
+    LANE multiple; returns AK17-convention primal-dual solutions.
+
+    With ``return_iters=True`` returns ``(sol, iterations)`` where
+    ``iterations`` is the int32 per-instance count of IPM bodies executed
+    before the lane converged, stalled, or froze (the `with_info`
+    diagnostics source — the kkt_metrics residuals alone cannot report
+    it)."""
     B = qp.q.shape[0]
     n, m, p = qp.num_vars, qp.num_ineq, qp.num_eq
     dt = qp.Q.dtype
@@ -471,8 +488,8 @@ def solve_batched_fused(
         # even at the raised 127 MB limit — take the staged path
         from ...solvers import qp as qpsolver
 
-        sol, _ = qpsolver.solve_batched(qp, max_iters=max_iters, tol=tol, reg=reg)
-        return sol
+        sol, info = qpsolver.solve_batched(qp, max_iters=max_iters, tol=tol, reg=reg)
+        return (sol, info.iterations) if return_iters else sol
     if tol is None:
         tol = 1e-9 if dt == jnp.float64 else 5e-6
     if reg is None:
@@ -510,12 +527,14 @@ def solve_batched_fused(
             pl.BlockSpec((m, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((p, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((m, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANE), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n, Bp), dt),
             jax.ShapeDtypeStruct((m, Bp), dt),
             jax.ShapeDtypeStruct((p, Bp), dt),
             jax.ShapeDtypeStruct((m, Bp), dt),
+            jax.ShapeDtypeStruct((1, Bp), dt),
         ],
         compiler_params=pltpu.CompilerParams(
             # v5e has 128 MB of VMEM; leave ~1 MB headroom. The n~100 tile
@@ -525,6 +544,9 @@ def solve_batched_fused(
         ),
         interpret=_interpret(),
     )(*args)
-    z, lam, nu, _ = out
+    z, lam, nu, _, itv = out
     back = lambda x: jnp.moveaxis(x, -1, 0)[:B]
-    return QPSolution(z=back(z), lam=back(lam), nu=back(nu))
+    sol = QPSolution(z=back(z), lam=back(lam), nu=back(nu))
+    if return_iters:
+        return sol, back(itv)[:, 0].astype(jnp.int32)
+    return sol

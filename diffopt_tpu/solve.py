@@ -461,16 +461,23 @@ def _make_solve_qp_batched_vjp(max_iters, method, refine_iters, polish, with_inf
 
     @jax.custom_vjp
     def _solve(qp: QuadProgram):
-        sol = solve_batched_fused(qp, max_iters=max_iters)
+        out = solve_batched_fused(
+            qp, max_iters=max_iters, return_iters=with_info
+        )
+        sol, iters = out if with_info else (out, None)
         if polish:
             # active-set polish (ops/kkt.py): removes the f32 sqrt(eps)
             # complementarity floor from the KKT point, which otherwise
             # dominates gradient error on near-degenerate instances
             sol = jax.vmap(lambda q, s: kkt.qp_polish(q, s))(qp, sol)
         if with_info or poison:
-            # the fused kernel carries no per-instance iteration state:
-            # diagnostics come from the post-hoc KKT residuals
+            # residual diagnostics are post-hoc KKT metrics; the kernel
+            # exports its own per-lane iteration counts
             info = qpsolver.kkt_metrics(qp, sol)
+            if iters is not None:
+                info = info._replace(
+                    iterations=jnp.broadcast_to(iters, info.converged.shape)
+                )
             if poison:
                 sol = _poison_unconverged(sol, info.converged)
             if with_info:

@@ -220,3 +220,18 @@ def test_batched_info_flag_is_scale_relative():
     sol, info = solve_qp_batched(batch, with_info=True)
     assert bool(jnp.all(info.converged)), np.asarray(info.primal_residual)
     assert np.all(np.asarray(info.primal_residual) < 1e-3)
+
+
+def test_batched_with_info_reports_iterations():
+    """The fused kernel exports per-lane iteration counts (round 5): the
+    with_info diagnostics must carry them instead of the old -1 sentinel."""
+    from diffopt_tpu.solve import solve_qp_batched
+
+    rng = np.random.default_rng(36)
+    qps = [_qp(rng) for _ in range(4)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *qps)
+    batch = jax.tree.map(lambda x: x.astype(jnp.float32), batch)
+    sol, info = solve_qp_batched(batch, with_info=True, max_iters=25)
+    it = np.asarray(info.iterations)
+    assert it.shape == (4,)
+    assert np.all(it >= 1) and np.all(it <= 25), it
